@@ -1,0 +1,81 @@
+"""Orbax-backed checkpointing.
+
+TPU-native replacement for ``tf.train.Saver`` (train.py:240, 328-330;
+eval restores params only, eval.py:205).  Keeps the reference's
+filesystem contract: a checkpoint directory that the eval daemon polls
+for new steps (eval.py:210-239).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Any, Optional
+
+import jax
+import numpy as np
+
+try:  # orbax is in the image; guard anyway so pure-numpy flows still work
+    import orbax.checkpoint as ocp
+    _HAVE_ORBAX = True
+except Exception:  # pragma: no cover
+    _HAVE_ORBAX = False
+
+_STEP_RE = re.compile(r"^(?:model\.ckpt-|)(\d+)$")
+
+
+def latest_step(directory: str) -> Optional[int]:
+    """Largest checkpoint step present in ``directory`` (None if empty).
+
+    Mirrors tf.train.get_checkpoint_state polling (train.py:243-245,
+    eval.py:221-229).
+    """
+    if not os.path.isdir(directory):
+        return None
+    steps = []
+    for name in os.listdir(directory):
+        m = _STEP_RE.match(name)
+        if m and os.path.isdir(os.path.join(directory, name)):
+            steps.append(int(m.group(1)))
+    return max(steps) if steps else None
+
+
+class CheckpointManager:
+    """Save/restore param + optimizer-state pytrees keyed by step."""
+
+    def __init__(self, directory: str):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self._ckptr = ocp.StandardCheckpointer() if _HAVE_ORBAX else None
+
+    def _path(self, step: int) -> str:
+        return os.path.join(self.directory, "model.ckpt-{}".format(step))
+
+    def save(self, step: int, tree: Any) -> str:
+        path = self._path(step)
+        if self._ckptr is not None:
+            self._ckptr.save(path, tree, force=True)
+            # StandardCheckpointer is async; block so the eval daemon never
+            # sees a half-written step directory.
+            self._ckptr.wait_until_finished()
+        else:  # pragma: no cover
+            os.makedirs(path, exist_ok=True)
+            flat, treedef = jax.tree_util.tree_flatten(tree)
+            np.savez(os.path.join(path, "arrays.npz"),
+                     *[np.asarray(x) for x in flat])
+        return path
+
+    def restore(self, step: int, like: Any) -> Any:
+        path = self._path(step)
+        if self._ckptr is not None:
+            abstract = jax.tree.map(
+                lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype), like)
+            return self._ckptr.restore(path, abstract)
+        raise RuntimeError("orbax unavailable")  # pragma: no cover
+
+    def restore_latest(self, like: Any):
+        """Returns (step, tree) or (None, None)."""
+        step = latest_step(self.directory)
+        if step is None:
+            return None, None
+        return step, self.restore(step, like)

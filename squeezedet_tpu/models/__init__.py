@@ -1,0 +1,155 @@
+"""Model registry + Detector facade.
+
+The reference exposes four classes (``SqueezeDet``, ``SqueezeDetPlus``,
+``VGG16ConvDet``, ``ResNet50ConvDet``, src/nets/__init__.py:1-4) that all
+inherit ``ModelSkeleton``.  Here each backbone is a module with pure
+``init``/``apply`` functions, and :class:`Detector` bundles a backbone
+with the shared interpretation graph, loss and postprocessing so entry
+points deal with one object.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from squeezedet_tpu.config import ModelConfig
+from squeezedet_tpu.models import (resnet50, squeezedet, squeezedet_plus,
+                                   vgg16)
+from squeezedet_tpu.models import layers as L
+from squeezedet_tpu.models.skeleton import (Interpretation, LossBreakdown,
+                                            Targets, detection_loss,
+                                            interpret)
+from squeezedet_tpu.ops.nms import filter_prediction_np
+
+_BACKBONES = {
+    "squeezeDet": squeezedet,
+    "squeezeDet+": squeezedet_plus,
+    "vgg16": vgg16,
+    "resnet50": resnet50,
+}
+
+
+def available_nets():
+    return tuple(_BACKBONES)
+
+
+@dataclass
+class Detector:
+    """A backbone + the shared ConvDet skeleton, as pure functions.
+
+    Typical use::
+
+        det = get_model('squeezeDet', cfg)
+        params, mask, tracer = det.init(jax.random.key(0))
+        interp = jax.jit(det.predict)(params, images)
+        boxes, probs, classes = det.filter_prediction(
+            np.asarray(interp.det_boxes[0]), ...)
+    """
+
+    cfg: ModelConfig
+    backbone: Any
+    _anchors: jnp.ndarray = field(init=False, repr=False)
+
+    def __post_init__(self):
+        self._anchors = jnp.asarray(self.cfg.anchor_box, jnp.float32)
+
+    # -- parameters ---------------------------------------------------------
+    def init(self, rng, pretrained: Optional[dict] = None):
+        """Returns (params, trainable_mask, tracer)."""
+        if pretrained is None and self.cfg.load_pretrained_model and \
+                self.cfg.pretrained_model_path:
+            from squeezedet_tpu.checkpoint.importer import load_pretrained
+            pretrained = load_pretrained(self.cfg.pretrained_model_path)
+        return self.backbone.init(rng, self.cfg, pretrained=pretrained)
+
+    # -- forward ------------------------------------------------------------
+    def forward(self, params, images, *, train: bool = False, rng=None):
+        """Backbone + ConvDet head -> raw preds [B, H, W, APG*(C+5)]."""
+        dtype = jnp.dtype(self.cfg.compute_dtype)
+        images = images.astype(dtype)
+        preds = self.backbone.apply(params, images, self.cfg, train=train,
+                                    rng=rng)
+        return preds.astype(jnp.float32)
+
+    def interpret(self, preds) -> Interpretation:
+        cfg = self.cfg
+        return interpret(
+            preds, self._anchors, num_classes=cfg.classes,
+            anchor_per_grid=cfg.anchor_per_grid,
+            image_width=cfg.image_width, image_height=cfg.image_height,
+            exp_thresh=cfg.exp_thresh)
+
+    def predict(self, params, images) -> Interpretation:
+        """Inference graph: forward + interpretation (jit this)."""
+        return self.interpret(self.forward(params, images, train=False))
+
+    # -- loss ---------------------------------------------------------------
+    def loss(self, params, images, targets: Targets, rng=None,
+             train: bool = True) -> LossBreakdown:
+        cfg = self.cfg
+        preds = self.forward(params, images, train=train, rng=rng)
+        interp = self.interpret(preds)
+        wd = L.weight_decay_loss(params, self._trainable_mask_cache(params),
+                                 cfg.weight_decay)
+        return detection_loss(
+            interp, targets, num_anchors=cfg.anchors,
+            loss_coef_class=cfg.loss_coef_class,
+            loss_coef_conf_pos=cfg.loss_coef_conf_pos,
+            loss_coef_conf_neg=cfg.loss_coef_conf_neg,
+            loss_coef_bbox=cfg.loss_coef_bbox,
+            epsilon=cfg.epsilon, weight_decay_term=wd)
+
+    _mask_cache: Optional[dict] = field(default=None, repr=False)
+
+    def _trainable_mask_cache(self, params):
+        if self._mask_cache is None:
+            # rebuild the mask structurally (cheap; init already returns it,
+            # this path covers restored params)
+            _, mask, _ = self.backbone.init(
+                jax.random.key(0),
+                self.cfg.replace(load_pretrained_model=False))
+            object.__setattr__(self, "_mask_cache", mask)
+        return self._mask_cache
+
+    def set_trainable_mask(self, mask):
+        object.__setattr__(self, "_mask_cache", mask)
+
+    # -- postprocess ---------------------------------------------------------
+    def filter_prediction(self, boxes, probs, cls_idx):
+        """Host-side top-N + per-class NMS (nn_skeleton.py:696-734)."""
+        cfg = self.cfg
+        return filter_prediction_np(
+            np.asarray(boxes), np.asarray(probs), np.asarray(cls_idx),
+            classes=cfg.classes, top_n_detection=cfg.top_n_detection,
+            prob_thresh=cfg.prob_thresh, nms_thresh=cfg.nms_thresh)
+
+    def predict_postprocessed(self, params, images):
+        """Fully on-device inference: forward + decode + top-k + NMS.
+
+        Returns fixed-shape (boxes [B,K,4], probs [B,K], classes [B,K],
+        keep [B,K]) — the TPU-native replacement for the reference's
+        numpy filter_prediction.
+        """
+        from squeezedet_tpu.ops.postprocess import filter_prediction_device
+        interp = self.predict(params, images)
+        cfg = self.cfg
+        return filter_prediction_device(
+            interp.det_boxes, interp.det_probs, interp.det_class,
+            top_n=cfg.top_n_detection, nms_thresh=cfg.nms_thresh,
+            num_classes=cfg.classes)
+
+
+def get_model(net: str, cfg: Optional[ModelConfig] = None) -> Detector:
+    """Look up a Detector by reference net name (train.py:111-133)."""
+    if net not in _BACKBONES:
+        raise ValueError(
+            "Selected neural net architecture not supported: {}".format(net))
+    if cfg is None:
+        from squeezedet_tpu.config import config_for_net
+        cfg = config_for_net(net)
+    return Detector(cfg=cfg, backbone=_BACKBONES[net])

@@ -1,0 +1,387 @@
+"""Functional layer library.
+
+Replaces the reference's graph-building layer constructors
+(``ModelSkeleton._conv_layer`` nn_skeleton.py:471, ``_conv_bn_layer``
+nn_skeleton.py:374, ``_pooling_layer`` nn_skeleton.py:565, ``_fc_layer``
+nn_skeleton.py:589) with pure ``init``/``apply`` pairs over parameter
+pytrees.  Every apply function is shape-static and jit-safe; convolutions
+are NHWC x HWIO so XLA lowers them straight onto the MXU.
+
+Each ``init_*`` also records per-layer parameter / FLOP / activation
+counts into a :class:`NetTracer`, mirroring the reference's
+``model_size_counter`` / ``flop_counter`` / ``activation_counter``
+(nn_skeleton.py:127-135, 451-463, 549-561, 584-585, 684-692), and marks
+trainability so the optimizer can freeze layers and apply weight decay
+only to trainable kernels (nn_skeleton.py:51-70).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Params = Dict[str, object]
+
+
+# ---------------------------------------------------------------------------
+# Initializers (match TF semantics used by the reference)
+# ---------------------------------------------------------------------------
+
+def truncated_normal(key, shape, stddev: float, dtype=jnp.float32):
+    """tf.truncated_normal_initializer: N(0, stddev) clipped to 2 sigma."""
+    return stddev * jax.random.truncated_normal(key, -2.0, 2.0, shape, dtype)
+
+
+def xavier_uniform_conv(key, shape, dtype=jnp.float32):
+    """tf.contrib.layers.xavier_initializer_conv2d (uniform Glorot).
+
+    shape is HWIO; fan counts include the receptive field.
+    """
+    h, w, cin, cout = shape
+    fan_in = h * w * cin
+    fan_out = h * w * cout
+    limit = math.sqrt(6.0 / (fan_in + fan_out))
+    return jax.random.uniform(key, shape, dtype, -limit, limit)
+
+
+def xavier_uniform_fc(key, shape, dtype=jnp.float32):
+    fan_in, fan_out = shape
+    limit = math.sqrt(6.0 / (fan_in + fan_out))
+    return jax.random.uniform(key, shape, dtype, -limit, limit)
+
+
+# ---------------------------------------------------------------------------
+# Static shape/accounting walker
+# ---------------------------------------------------------------------------
+
+def _out_size(size: int, k: int, s: int, padding: str) -> int:
+    if padding == "SAME":
+        return -(-size // s)
+    return -(-(size - k + 1) // s)
+
+
+@dataclass
+class NetTracer:
+    """Walks static shapes through the net during init and keeps the same
+    accounting the reference dumps to model_metrics.txt (train.py:138-161)."""
+
+    height: int
+    width: int
+    channels: int
+    model_size_counter: List[Tuple[str, int]] = field(default_factory=list)
+    flop_counter: List[Tuple[str, int]] = field(default_factory=list)
+    activation_counter: List[Tuple[str, int]] = field(default_factory=list)
+
+    @classmethod
+    def for_config(cls, cfg) -> "NetTracer":
+        t = cls(cfg.image_height, cfg.image_width, 3)
+        # reference: activation_counter starts with the input entry
+        # (nn_skeleton.py:135)
+        t.activation_counter.append(
+            ("input", cfg.image_width * cfg.image_height * 3))
+        return t
+
+    def conv(self, name: str, filters: int, size: int, stride: int,
+             padding: str, relu: bool) -> None:
+        in_ch = self.channels
+        self.height = _out_size(self.height, size, stride, padding)
+        self.width = _out_size(self.width, size, stride, padding)
+        self.channels = filters
+        self.model_size_counter.append((name, (1 + size * size * in_ch) * filters))
+        flops = (1 + 2 * in_ch * size * size) * filters * self.height * self.width
+        if relu:
+            flops += 2 * filters * self.height * self.width
+        self.flop_counter.append((name, flops))
+        self.activation_counter.append(
+            (name, self.height * self.width * self.channels))
+
+    def pool(self, name: str, size: int, stride: int, padding: str) -> None:
+        self.height = _out_size(self.height, size, stride, padding)
+        self.width = _out_size(self.width, size, stride, padding)
+        self.activation_counter.append(
+            (name, self.height * self.width * self.channels))
+
+    def fc(self, name: str, hiddens: int, relu: bool) -> None:
+        dim = self.height * self.width * self.channels
+        self.model_size_counter.append((name, (dim + 1) * hiddens))
+        flops = 2 * dim * hiddens + hiddens
+        if relu:
+            flops += 2 * hiddens
+        self.flop_counter.append((name, flops))
+        self.activation_counter.append((name, hiddens))
+        self.height, self.width, self.channels = 1, 1, hiddens
+
+    def snapshot(self) -> Tuple[int, int, int]:
+        return self.height, self.width, self.channels
+
+    def restore(self, snap: Tuple[int, int, int]) -> None:
+        self.height, self.width, self.channels = snap
+
+    def total_flops(self) -> int:
+        return sum(f for _, f in self.flop_counter)
+
+    def total_params(self) -> int:
+        return sum(p for _, p in self.model_size_counter)
+
+
+# ---------------------------------------------------------------------------
+# Conv layer (reference _conv_layer, nn_skeleton.py:471-563)
+# ---------------------------------------------------------------------------
+
+def init_conv(key, tracer: NetTracer, name: str, filters: int, size: int,
+              stride: int, *, padding: str = "SAME", freeze: bool = False,
+              xavier: bool = False, relu: bool = True, stddev: float = 0.001,
+              pretrained: Optional[dict] = None) -> Tuple[Params, Params]:
+    """Returns (params, trainable_mask) for a conv layer and advances tracer.
+
+    ``pretrained`` maps layer name -> [kernel OIHW, bias] (the caffe joblib
+    pickle layout, nn_skeleton.py:493-508); falls back to random init on
+    shape mismatch exactly like the reference.
+    """
+    in_ch = tracer.channels
+    kshape = (size, size, in_ch, filters)
+    kernel = None
+    bias = None
+    if pretrained is not None and name in pretrained:
+        kval = np.transpose(np.asarray(pretrained[name][0]), (2, 3, 1, 0))
+        bval = np.asarray(pretrained[name][1])
+        if kval.shape == kshape and bval.shape == (filters,):
+            kernel = jnp.asarray(kval, jnp.float32)
+            bias = jnp.asarray(bval, jnp.float32)
+        else:
+            print("Shape of the pretrained parameter of {} does not match, "
+                  "use randomly initialized parameter".format(name))
+    if kernel is None:
+        kkey, _ = jax.random.split(key)
+        if xavier:
+            kernel = xavier_uniform_conv(kkey, kshape)
+        else:
+            kernel = truncated_normal(kkey, kshape, stddev)
+        bias = jnp.zeros((filters,), jnp.float32)
+
+    tracer.conv(name, filters, size, stride, padding, relu)
+    params = {"kernel": kernel, "bias": bias}
+    mask = {"kernel": not freeze, "bias": not freeze}
+    return params, mask
+
+
+def conv2d(params: Params, x, stride: int, padding: str = "SAME",
+           relu: bool = True):
+    """NHWC conv + bias (+ relu).  Matches tf.nn.conv2d 'SAME'/'VALID'."""
+    kernel = params["kernel"].astype(x.dtype)
+    y = jax.lax.conv_general_dilated(
+        x, kernel,
+        window_strides=(stride, stride),
+        padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    y = y + params["bias"].astype(y.dtype)
+    if relu:
+        y = jnp.maximum(y, 0)
+    return y
+
+
+# ---------------------------------------------------------------------------
+# Conv + frozen-stats BatchNorm (reference _conv_bn_layer,
+# nn_skeleton.py:374-468).  Mean/var are constants (never trained), so the
+# whole BN is an affine transform XLA fuses into the conv epilogue.
+# ---------------------------------------------------------------------------
+
+def init_conv_bn(key, tracer: NetTracer, name: str, filters: int, size: int,
+                 stride: int, *, padding: str = "SAME", freeze: bool = False,
+                 relu: bool = True, conv_with_bias: bool = False,
+                 stddev: float = 0.001,
+                 bn_name: Optional[str] = None,
+                 scale_name: Optional[str] = None,
+                 pretrained: Optional[dict] = None) -> Tuple[Params, Params]:
+    in_ch = tracer.channels
+    kshape = (size, size, in_ch, filters)
+    if pretrained is not None:
+        kernel = jnp.asarray(
+            np.transpose(np.asarray(pretrained[name][0]), (2, 3, 1, 0)),
+            jnp.float32)
+        bias = (jnp.asarray(np.asarray(pretrained[name][1]), jnp.float32)
+                if conv_with_bias else None)
+        mean = jnp.asarray(np.asarray(pretrained[bn_name][0]), jnp.float32)
+        var = jnp.asarray(np.asarray(pretrained[bn_name][1]), jnp.float32)
+        gamma = jnp.asarray(np.asarray(pretrained[scale_name][0]), jnp.float32)
+        beta = jnp.asarray(np.asarray(pretrained[scale_name][1]), jnp.float32)
+    else:
+        kkey, _ = jax.random.split(key)
+        kernel = truncated_normal(kkey, kshape, stddev)
+        bias = jnp.zeros((filters,), jnp.float32) if conv_with_bias else None
+        mean = jnp.zeros((filters,), jnp.float32)
+        var = jnp.ones((filters,), jnp.float32)
+        gamma = jnp.ones((filters,), jnp.float32)
+        beta = jnp.zeros((filters,), jnp.float32)
+
+    tracer.conv(name, filters, size, stride, padding, relu)
+    params = {"kernel": kernel, "gamma": gamma, "beta": beta,
+              "mean": mean, "var": var}
+    mask = {"kernel": not freeze, "gamma": not freeze, "beta": not freeze,
+            "mean": False, "var": False}
+    if conv_with_bias:
+        params["bias"] = bias
+        mask["bias"] = not freeze
+    return params, mask
+
+
+def conv_bn(params: Params, x, stride: int, *, padding: str = "SAME",
+            relu: bool = True, eps: float = 1e-5):
+    kernel = params["kernel"].astype(x.dtype)
+    y = jax.lax.conv_general_dilated(
+        x, kernel,
+        window_strides=(stride, stride),
+        padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    if "bias" in params:
+        y = y + params["bias"].astype(y.dtype)
+    # Frozen-stats batch norm as affine: gamma*(y-mean)/sqrt(var+eps)+beta.
+    inv = (params["gamma"] * jax.lax.rsqrt(params["var"] + eps))
+    y = y * inv.astype(y.dtype) + (
+        params["beta"] - params["mean"] * inv).astype(y.dtype)
+    if relu:
+        y = jnp.maximum(y, 0)
+    return y
+
+
+# ---------------------------------------------------------------------------
+# Pooling / dropout / fire
+# ---------------------------------------------------------------------------
+
+def max_pool(x, size: int, stride: int, padding: str = "SAME"):
+    """tf.nn.max_pool equivalent via reduce_window."""
+    return jax.lax.reduce_window(
+        x, -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else
+        jnp.iinfo(x.dtype).min,
+        jax.lax.max,
+        window_dimensions=(1, size, size, 1),
+        window_strides=(1, stride, stride, 1),
+        padding=padding,
+    )
+
+
+def dropout(x, keep_prob: float, rng, train: bool):
+    """Inverted dropout matching tf.nn.dropout (nn_skeleton.py:78)."""
+    if not train or keep_prob >= 1.0:
+        return x
+    mask = jax.random.bernoulli(rng, keep_prob, x.shape)
+    return jnp.where(mask, x / keep_prob, jnp.zeros_like(x))
+
+
+def init_fire(key, tracer: NetTracer, name: str, s1x1: int, e1x1: int,
+              e3x3: int, *, freeze: bool = False, stddev: float = 0.01,
+              pretrained: Optional[dict] = None) -> Tuple[Params, Params]:
+    """Fire module: squeeze1x1 -> concat(expand1x1, expand3x3)
+    (squeezeDet.py:81-106)."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    sq, sq_m = init_conv(k1, tracer, name + "/squeeze1x1", s1x1, 1, 1,
+                         stddev=stddev, freeze=freeze, pretrained=pretrained)
+    snap = tracer.snapshot()
+    e1, e1_m = init_conv(k2, tracer, name + "/expand1x1", e1x1, 1, 1,
+                         stddev=stddev, freeze=freeze, pretrained=pretrained)
+    tracer.restore(snap)
+    e3, e3_m = init_conv(k3, tracer, name + "/expand3x3", e3x3, 3, 1,
+                         stddev=stddev, freeze=freeze, pretrained=pretrained)
+    # after concat, channels = e1x1 + e3x3
+    tracer.channels = e1x1 + e3x3
+    params = {"squeeze1x1": sq, "expand1x1": e1, "expand3x3": e3}
+    mask = {"squeeze1x1": sq_m, "expand1x1": e1_m, "expand3x3": e3_m}
+    return params, mask
+
+
+def fire(params: Params, x):
+    sq = conv2d(params["squeeze1x1"], x, 1)
+    e1 = conv2d(params["expand1x1"], sq, 1)
+    e3 = conv2d(params["expand3x3"], sq, 1)
+    return jnp.concatenate([e1, e3], axis=3)
+
+
+# ---------------------------------------------------------------------------
+# FC layer (reference _fc_layer, nn_skeleton.py:589-694) — capability parity;
+# none of the four shipped backbones use it.
+# ---------------------------------------------------------------------------
+
+def init_fc(key, tracer: NetTracer, name: str, hiddens: int, *,
+            flatten: bool = False, relu: bool = True, xavier: bool = False,
+            stddev: float = 0.001,
+            pretrained: Optional[dict] = None) -> Tuple[Params, Params]:
+    if flatten:
+        dim = tracer.height * tracer.width * tracer.channels
+    else:
+        dim = tracer.channels
+    weights = None
+    if pretrained is not None and name in pretrained:
+        kval = np.asarray(pretrained[name][0])
+        bval = np.asarray(pretrained[name][1])
+        try:
+            if flatten:
+                assert kval.shape == (hiddens, dim)
+                kval = np.reshape(
+                    np.transpose(
+                        np.reshape(kval, (hiddens, tracer.channels,
+                                          tracer.height, tracer.width)),
+                        (2, 3, 1, 0)),
+                    (dim, -1))
+            else:
+                kval = np.transpose(kval, (1, 0))
+            assert kval.shape == (dim, hiddens)
+            weights = jnp.asarray(kval, jnp.float32)
+            bias = jnp.asarray(bval, jnp.float32)
+        except (AssertionError, ValueError):
+            weights = None
+            print("Shape of the pretrained parameter of {} does not match, "
+                  "use randomly initialized parameter".format(name))
+    if weights is None:
+        kkey, _ = jax.random.split(key)
+        if xavier:
+            weights = xavier_uniform_fc(kkey, (dim, hiddens))
+        else:
+            weights = truncated_normal(kkey, (dim, hiddens), stddev)
+        bias = jnp.zeros((hiddens,), jnp.float32)
+    tracer.fc(name, hiddens, relu)
+    return ({"weights": weights, "bias": bias},
+            {"weights": True, "bias": True})
+
+
+def fc(params: Params, x, *, flatten: bool = False, relu: bool = True):
+    if flatten:
+        x = x.reshape(x.shape[0], -1)
+    y = jnp.dot(x, params["weights"].astype(x.dtype),
+                preferred_element_type=x.dtype) + params["bias"].astype(x.dtype)
+    if relu:
+        y = jnp.maximum(y, 0)
+    return y
+
+
+# ---------------------------------------------------------------------------
+# Weight decay helper
+# ---------------------------------------------------------------------------
+
+def weight_decay_loss(params, trainable_mask, wd: float):
+    """Sum of wd * 0.5*||k||^2 over trainable kernel/weights leaves
+    (reference _variable_with_weight_decay, nn_skeleton.py:51-70 — decay on
+    conv kernels and fc weights only, and only when trainable)."""
+    total = 0.0
+    for path, leaf in jax.tree_util.tree_leaves_with_path(params):
+        key_name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+        if key_name not in ("kernel", "weights"):
+            continue
+        m = trainable_mask
+        ok = True
+        for p in path:
+            k = p.key if hasattr(p, "key") else str(p)
+            m = m.get(k) if isinstance(m, dict) else m
+            if m is None:
+                ok = False
+                break
+        if ok and m:
+            total = total + wd * 0.5 * jnp.sum(
+                jnp.square(leaf.astype(jnp.float32)))
+    return total

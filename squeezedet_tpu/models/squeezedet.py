@@ -1,0 +1,61 @@
+"""SqueezeDet backbone + ConvDet head (reference src/nets/squeezeDet.py).
+
+conv1 (64f 3x3 s2, frozen) -> pool1 -> fire2..3 -> pool3 -> fire4..5 ->
+pool5 -> fire6..9 -> fire10..11 (new) -> dropout -> conv12 ConvDet head
+with APG*(C+1+4) channels, 3x3, no relu, stddev 1e-4
+(squeezeDet.py:40-79).  All pools are 3x3 stride-2 SAME; overall stride 16.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from squeezedet_tpu.models import layers as L
+
+# (name, s1x1, e1x1, e3x3) for fire2..fire11 (squeezeDet.py:46-73).
+_FIRES = [
+    ("fire2", 16, 64, 64), ("fire3", 16, 64, 64),
+    ("fire4", 32, 128, 128), ("fire5", 32, 128, 128),
+    ("fire6", 48, 192, 192), ("fire7", 48, 192, 192),
+    ("fire8", 64, 256, 256), ("fire9", 64, 256, 256),
+    ("fire10", 96, 384, 384), ("fire11", 96, 384, 384),
+]
+# pools come after these layers (squeezeDet.py:43-58)
+_POOL_AFTER = {"conv1": "pool1", "fire3": "pool3", "fire5": "pool5"}
+
+
+def init(rng, cfg, pretrained=None):
+    """Build the parameter pytree, trainable mask and shape tracer."""
+    tracer = L.NetTracer.for_config(cfg)
+    keys = jax.random.split(rng, len(_FIRES) + 2)
+    params, mask = {}, {}
+
+    params["conv1"], mask["conv1"] = L.init_conv(
+        keys[0], tracer, "conv1", 64, 3, 2, padding="SAME", freeze=True,
+        pretrained=pretrained)
+    tracer.pool("pool1", 3, 2, "SAME")
+
+    for i, (name, s, e1, e3) in enumerate(_FIRES):
+        params[name], mask[name] = L.init_fire(
+            keys[i + 1], tracer, name, s, e1, e3, pretrained=pretrained)
+        if name in _POOL_AFTER:
+            tracer.pool(_POOL_AFTER[name], 3, 2, "SAME")
+
+    num_output = cfg.anchor_per_grid * (cfg.classes + 1 + 4)
+    params["conv12"], mask["conv12"] = L.init_conv(
+        keys[-1], tracer, "conv12", num_output, 3, 1, padding="SAME",
+        xavier=False, relu=False, stddev=0.0001, pretrained=pretrained)
+    return params, mask, tracer
+
+
+def apply(params, images, cfg, *, train: bool = False, rng=None):
+    """Forward pass: [B, H, W, 3] BGR mean-subtracted -> ConvDet preds."""
+    x = L.conv2d(params["conv1"], images, 2)
+    x = L.max_pool(x, 3, 2, "SAME")
+    for name, _, _, _ in _FIRES:
+        x = L.fire(params[name], x)
+        if name in _POOL_AFTER:
+            x = L.max_pool(x, 3, 2, "SAME")
+    x = L.dropout(x, cfg.keep_prob, rng, train)
+    return L.conv2d(params["conv12"], x, 1, relu=False)

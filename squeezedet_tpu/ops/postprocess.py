@@ -1,0 +1,104 @@
+"""On-device detection postprocessing: top-K + per-class NMS.
+
+TPU-native replacement for ``ModelSkeleton.filter_prediction``
+(nn_skeleton.py:696-734) + ``util.nms`` (util.py:56-76).  The reference
+walks candidates in descending-score order and suppresses every later box
+that overlaps an earlier *candidate* (not an earlier survivor), so
+
+    keep[j]  <=>  not exists i earlier-in-order, same class:
+                  IoU(i, j) > thresh
+
+which is order-free given the ranking — one [K, K] IoU matrix and a
+triangular mask, no sequential loop.  With K = TOP_N_DETECTION = 64 the
+whole postprocess is a handful of VPU ops fused into the inference
+program; nothing leaves HBM until the final [B, K] results.
+
+Everything is fixed-shape: outputs are padded to K with a keep mask.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _pairwise_iou_center(boxes):
+    """[K, 4] center-format -> [K, K] IoU (matches util.py:9-54 math)."""
+    cx, cy, w, h = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+    x1, y1 = cx - 0.5 * w, cy - 0.5 * h
+    x2, y2 = cx + 0.5 * w, cy + 0.5 * h
+    lr = jnp.maximum(
+        jnp.minimum(x2[:, None], x2[None, :])
+        - jnp.maximum(x1[:, None], x1[None, :]), 0.0)
+    tb = jnp.maximum(
+        jnp.minimum(y2[:, None], y2[None, :])
+        - jnp.maximum(y1[:, None], y1[None, :]), 0.0)
+    inter = lr * tb
+    area = w * h
+    union = area[:, None] + area[None, :] - inter
+    # Padded/degenerate boxes have zero area; guard the division like the
+    # device path must (the host reference divides by zero there).
+    return inter / jnp.maximum(union, 1e-12)
+
+
+def _filter_one(boxes, probs, cls_idx, *, top_n: int, nms_thresh: float):
+    """Single image: [A, 4], [A], [A] -> top_n-shaped results."""
+    top_probs, order = jax.lax.top_k(probs, top_n)  # descending
+    top_boxes = jnp.take(boxes, order, axis=0)
+    top_cls = jnp.take(cls_idx, order, axis=0)
+
+    iou_mat = _pairwise_iou_center(top_boxes)
+    same_class = top_cls[:, None] == top_cls[None, :]
+    k = top_n
+    earlier = (jax.lax.broadcasted_iota(jnp.int32, (k, k), 0)
+               < jax.lax.broadcasted_iota(jnp.int32, (k, k), 1))
+    suppressed = jnp.any(
+        (iou_mat > nms_thresh) & same_class & earlier, axis=0)
+    return top_boxes, top_probs, top_cls, ~suppressed
+
+
+@partial(jax.jit, static_argnames=("top_n", "nms_thresh", "num_classes"))
+def filter_prediction_device(boxes, probs, cls_idx, *, top_n: int,
+                             nms_thresh: float, num_classes: int):
+    """Batched on-device postprocess.
+
+    Args:
+      boxes: [B, A, 4] decoded center-format boxes.
+      probs: [B, A] per-anchor max class scores.
+      cls_idx: [B, A] int32 class indices.
+
+    Returns:
+      (boxes [B, K, 4], probs [B, K], classes [B, K], keep [B, K] bool),
+      candidates in descending-probability order.
+    """
+    del num_classes  # suppression is same-class-pairwise; count not needed
+    return jax.vmap(
+        lambda b, p, c: _filter_one(b, p, c, top_n=top_n,
+                                    nms_thresh=nms_thresh)
+    )(boxes, probs, cls_idx)
+
+
+def device_results_to_lists(
+        boxes: np.ndarray, probs: np.ndarray, classes: np.ndarray,
+        keep: np.ndarray, num_classes: int,
+        plot_prob_thresh: float = None,
+) -> Tuple[List[np.ndarray], List[float], List[int]]:
+    """Convert one image's fixed-shape device results into the grouped-by-
+    class python lists the reference filter_prediction returns
+    (nn_skeleton.py:722-734): class 0 detections first, each class in
+    descending-probability order."""
+    final_boxes, final_probs, final_cls = [], [], []
+    for c in range(num_classes):
+        for i in range(len(keep)):
+            if keep[i] and classes[i] == c:
+                if plot_prob_thresh is not None and \
+                        probs[i] <= plot_prob_thresh:
+                    continue
+                final_boxes.append(boxes[i])
+                final_probs.append(float(probs[i]))
+                final_cls.append(int(classes[i]))
+    return final_boxes, final_probs, final_cls

@@ -1,0 +1,165 @@
+"""Loss-graph parity (nn_skeleton.py:285-327)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from squeezedet_tpu.config import tiny_test_config
+from squeezedet_tpu.models import get_model
+from squeezedet_tpu.models.skeleton import (Targets, detection_loss,
+                                            interpret)
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return tiny_test_config()
+
+
+def _make_inputs(cfg, rng, num_objects=3):
+    B, A, C = cfg.batch_size, cfg.anchors, cfg.classes
+    preds = rng.randn(B, cfg.grid_h, cfg.grid_w,
+                      cfg.head_channels).astype(np.float32) * 0.1
+    mask = np.zeros((B, A), np.float32)
+    labels = np.zeros((B, A, C), np.float32)
+    deltas = np.zeros((B, A, 4), np.float32)
+    gt = np.zeros((B, A, 4), np.float32)
+    for b in range(B):
+        picks = rng.choice(A, num_objects, replace=False)
+        for a in picks:
+            mask[b, a] = 1.0
+            labels[b, a, rng.randint(C)] = 1.0
+            deltas[b, a] = rng.randn(4) * 0.1
+            gt[b, a] = [40 + rng.rand() * 10, 40 + rng.rand() * 10,
+                        20 + rng.rand() * 10, 20 + rng.rand() * 10]
+    return preds, Targets(jnp.asarray(mask), jnp.asarray(deltas),
+                          jnp.asarray(gt), jnp.asarray(labels))
+
+
+def _np_loss(cfg, preds, tg):
+    """Numpy oracle transcribing nn_skeleton.py:285-327."""
+    B, A, C = preds.shape[0], cfg.anchors, cfg.classes
+    eps = cfg.epsilon
+    ncp = cfg.anchor_per_grid * C
+    logits = preds[..., :ncp].reshape(-1, C)
+    e = np.exp(logits - logits.max(1, keepdims=True))
+    p = (e / e.sum(1, keepdims=True)).reshape(B, A, C)
+    conf = 1 / (1 + np.exp(-preds[..., ncp:ncp + cfg.anchor_per_grid]
+                           .reshape(B, A)))
+    delta = preds[..., ncp + cfg.anchor_per_grid:].reshape(B, A, 4)
+
+    mask = np.asarray(tg.input_mask)
+    labels = np.asarray(tg.labels)
+    nobj = mask.sum()
+
+    class_loss = ((labels * -np.log(p + eps) +
+                   (1 - labels) * -np.log(1 - p + eps))
+                  * mask[..., None] * cfg.loss_coef_class).sum() / nobj
+
+    # decode boxes same as interpretation graph
+    from squeezedet_tpu.ops.boxes import safe_exp_np
+    anchors = cfg.anchor_box.astype(np.float32)
+    ax, ay, aw, ah = anchors.T
+    cx = ax + delta[..., 0] * aw
+    cy = ay + delta[..., 1] * ah
+    w = aw * safe_exp_np(delta[..., 2], cfg.exp_thresh)
+    h = ah * safe_exp_np(delta[..., 3], cfg.exp_thresh)
+    x1, y1, x2, y2 = cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2
+    x1 = np.clip(x1, 0, cfg.image_width - 1.0)
+    y1 = np.clip(y1, 0, cfg.image_height - 1.0)
+    x2 = np.clip(x2, 0, cfg.image_width - 1.0)
+    y2 = np.clip(y2, 0, cfg.image_height - 1.0)
+    bw, bh = x2 - x1 + 1.0, y2 - y1 + 1.0
+    det = np.stack([x1 + bw / 2, y1 + bh / 2, bw, bh], -1)
+
+    gt = np.asarray(tg.box_input)
+
+    def corners(bx):
+        return (bx[..., 0] - bx[..., 2] / 2, bx[..., 1] - bx[..., 3] / 2,
+                bx[..., 0] + bx[..., 2] / 2, bx[..., 1] + bx[..., 3] / 2)
+
+    d1, g1 = corners(det), corners(gt)
+    ix = np.maximum(0, np.minimum(d1[2], g1[2]) - np.maximum(d1[0], g1[0]))
+    iy = np.maximum(0, np.minimum(d1[3], g1[3]) - np.maximum(d1[1], g1[1]))
+    inter = ix * iy
+    union = ((d1[2] - d1[0]) * (d1[3] - d1[1])
+             + (g1[2] - g1[0]) * (g1[3] - g1[1]) - inter)
+    ious = inter / (union + eps) * mask
+
+    cw = (mask * cfg.loss_coef_conf_pos / nobj
+          + (1 - mask) * cfg.loss_coef_conf_neg / (A - nobj))
+    conf_loss = (np.square(ious - conf) * cw).sum(1).mean()
+
+    bbox_loss = (cfg.loss_coef_bbox * np.square(
+        mask[..., None] * (delta - np.asarray(tg.box_delta_input)))).sum() \
+        / nobj
+    return class_loss, conf_loss, bbox_loss
+
+
+def test_loss_matches_numpy_oracle(cfg, rng):
+    preds, tg = _make_inputs(cfg, rng)
+    interp = interpret(jnp.asarray(preds),
+                       jnp.asarray(cfg.anchor_box, jnp.float32),
+                       num_classes=cfg.classes,
+                       anchor_per_grid=cfg.anchor_per_grid,
+                       image_width=cfg.image_width,
+                       image_height=cfg.image_height,
+                       exp_thresh=cfg.exp_thresh)
+    got = detection_loss(
+        interp, tg, num_anchors=cfg.anchors,
+        loss_coef_class=cfg.loss_coef_class,
+        loss_coef_conf_pos=cfg.loss_coef_conf_pos,
+        loss_coef_conf_neg=cfg.loss_coef_conf_neg,
+        loss_coef_bbox=cfg.loss_coef_bbox, epsilon=cfg.epsilon)
+    want = _np_loss(cfg, preds, tg)
+    np.testing.assert_allclose(float(got.class_loss), want[0], rtol=1e-4)
+    np.testing.assert_allclose(float(got.conf_loss), want[1], rtol=1e-4)
+    np.testing.assert_allclose(float(got.bbox_loss), want[2], rtol=1e-4)
+    np.testing.assert_allclose(
+        float(got.total), sum(want), rtol=1e-4)
+
+
+def test_conf_target_is_stop_gradient(cfg, rng):
+    """The IoU conf target must not backprop into the box path — in the
+    reference it flows through a non-trainable Variable assign
+    (nn_skeleton.py:100-103,263)."""
+    preds, tg = _make_inputs(cfg, rng)
+
+    def conf_loss_of_delta_channels(preds_arr):
+        interp = interpret(preds_arr,
+                           jnp.asarray(cfg.anchor_box, jnp.float32),
+                           num_classes=cfg.classes,
+                           anchor_per_grid=cfg.anchor_per_grid,
+                           image_width=cfg.image_width,
+                           image_height=cfg.image_height)
+        lb = detection_loss(
+            interp, tg, num_anchors=cfg.anchors,
+            loss_coef_class=cfg.loss_coef_class,
+            loss_coef_conf_pos=cfg.loss_coef_conf_pos,
+            loss_coef_conf_neg=cfg.loss_coef_conf_neg,
+            loss_coef_bbox=0.0, epsilon=cfg.epsilon)
+        return lb.conf_loss
+
+    g = jax.grad(conf_loss_of_delta_channels)(jnp.asarray(preds))
+    ncp = cfg.anchor_per_grid * cfg.classes
+    delta_grads = np.asarray(g[..., ncp + cfg.anchor_per_grid:])
+    np.testing.assert_allclose(delta_grads, 0.0, atol=1e-8)
+
+
+def test_detector_loss_includes_weight_decay(cfg, rng):
+    det = get_model("squeezeDet", cfg)
+    params, mask, _ = det.init(jax.random.key(0))
+    det.set_trainable_mask(mask)
+    preds, tg = _make_inputs(cfg, rng)
+    imgs = jnp.zeros((cfg.batch_size, cfg.image_height, cfg.image_width, 3))
+    lb = det.loss(params, imgs, tg, rng=jax.random.key(1))
+    lb_parts = float(lb.class_loss + lb.conf_loss + lb.bbox_loss)
+    assert float(lb.total) > lb_parts  # weight decay strictly positive
+
+
+def test_frozen_layers_have_no_trainable_mask(cfg):
+    det = get_model("squeezeDet", cfg)
+    _, mask, _ = det.init(jax.random.key(0))
+    assert mask["conv1"] == {"kernel": False, "bias": False}
+    assert mask["fire2"]["squeeze1x1"]["kernel"] is True
+    assert mask["conv12"]["kernel"] is True

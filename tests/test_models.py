@@ -1,0 +1,134 @@
+"""Backbone structure tests: output grids, parameter counts, freezing,
+dropout behaviour."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from squeezedet_tpu.config import config_for_net, tiny_test_config
+from squeezedet_tpu.models import available_nets, get_model
+
+# Reference layer-by-layer structure facts (squeezeDet.py, vgg16_convDet.py,
+# resnet50_convDet.py, squeezeDetPlus.py).
+_EXPECT_GRID = {
+    "squeezeDet": (24, 78), "squeezeDet+": (22, 76),
+    "vgg16": (24, 78), "resnet50": (24, 78),
+}
+
+
+@pytest.mark.parametrize("net", list(_EXPECT_GRID))
+def test_grid_matches_config(net):
+    cfg = config_for_net(net).replace(load_pretrained_model=False)
+    det = get_model(net, cfg)
+    _, _, tracer = det.init(jax.random.key(0))
+    assert (tracer.height, tracer.width) == _EXPECT_GRID[net]
+    assert (cfg.grid_h, cfg.grid_w) == _EXPECT_GRID[net]
+    assert tracer.channels == cfg.head_channels == 72
+
+
+def test_forward_shapes_tiny():
+    cfg = tiny_test_config()
+    det = get_model("squeezeDet", cfg)
+    params, _, _ = det.init(jax.random.key(0))
+    imgs = jnp.zeros((cfg.batch_size, cfg.image_height, cfg.image_width, 3))
+    preds = det.forward(params, imgs)
+    assert preds.shape == (cfg.batch_size, cfg.grid_h, cfg.grid_w,
+                           cfg.head_channels)
+    assert preds.dtype == jnp.float32
+
+
+def test_dropout_only_in_train_mode():
+    from squeezedet_tpu.models.layers import dropout
+    x = jnp.ones((4, 8, 8, 16))
+    # eval: identity regardless of rng (nn_skeleton.py:78: keep_prob=1.0)
+    np.testing.assert_array_equal(
+        np.asarray(dropout(x, 0.5, None, train=False)), np.asarray(x))
+    # train: inverted dropout — zeros and 1/keep_prob scaling
+    y = np.asarray(dropout(x, 0.5, jax.random.key(0), train=True))
+    assert set(np.unique(y)) == {0.0, 2.0}
+    # different rngs -> different masks
+    y2 = np.asarray(dropout(x, 0.5, jax.random.key(1), train=True))
+    assert not np.array_equal(y, y2)
+
+
+def test_forward_eval_is_deterministic():
+    cfg = tiny_test_config()
+    det = get_model("squeezeDet", cfg)
+    params, _, _ = det.init(jax.random.key(0))
+    imgs = jax.random.normal(jax.random.key(5),
+                             (2, cfg.image_height, cfg.image_width, 3))
+    eval1 = det.forward(params, imgs, train=False)
+    eval2 = det.forward(params, imgs, train=False)
+    np.testing.assert_array_equal(np.asarray(eval1), np.asarray(eval2))
+
+
+def test_pretrained_weights_are_used():
+    cfg = tiny_test_config()
+    det = get_model("squeezeDet", cfg)
+    # caffe pkl layout: kernel OIHW + bias (nn_skeleton.py:493-497)
+    kernel_oihw = np.random.RandomState(0).randn(64, 3, 3, 3).astype(
+        np.float32)
+    bias = np.arange(64, dtype=np.float32)
+    pretrained = {"conv1": [kernel_oihw, bias]}
+    params, _, _ = det.init(jax.random.key(0), pretrained=pretrained)
+    np.testing.assert_allclose(
+        np.asarray(params["conv1"]["kernel"]),
+        np.transpose(kernel_oihw, (2, 3, 1, 0)))
+    np.testing.assert_allclose(np.asarray(params["conv1"]["bias"]), bias)
+
+
+def test_pretrained_shape_mismatch_falls_back():
+    cfg = tiny_test_config()
+    det = get_model("squeezeDet", cfg)
+    pretrained = {"conv1": [np.zeros((8, 3, 3, 3), np.float32),
+                            np.zeros(8, np.float32)]}
+    params, _, _ = det.init(jax.random.key(0), pretrained=pretrained)
+    assert params["conv1"]["kernel"].shape == (3, 3, 3, 64)
+    assert not np.allclose(np.asarray(params["conv1"]["kernel"]), 0.0)
+
+
+@pytest.mark.parametrize("net", list(available_nets()))
+def test_all_backbones_forward_tiny(net):
+    cfg = tiny_test_config(net=net)
+    det = get_model(net, cfg)
+    params, mask, tracer = det.init(jax.random.key(0))
+    imgs = jnp.zeros((1, cfg.image_height, cfg.image_width, 3))
+    interp = det.predict(params, imgs)
+    assert interp.det_boxes.shape == (1, cfg.anchors, 4)
+    assert interp.det_probs.shape == (1, cfg.anchors)
+
+
+def test_resnet_frozen_stages():
+    cfg = tiny_test_config(net="resnet50")
+    det = get_model("resnet50", cfg)
+    _, mask, _ = det.init(jax.random.key(0))
+    # conv1, res2*, res3* frozen; res4* trainable (resnet50_convDet.py:41-99)
+    assert mask["conv1"]["kernel"] is False
+    assert mask["res2a"]["branch2"]["branch2a"]["kernel"] is False
+    assert mask["res3d"]["branch2"]["branch2c"]["gamma"] is False
+    assert mask["res4a"]["branch1"]["kernel"] is True
+    assert mask["res4f"]["branch2"]["branch2b"]["kernel"] is True
+    # BN running stats never trainable
+    assert mask["res4a"]["branch1"]["mean"] is False
+
+
+def test_vgg_frozen_blocks():
+    cfg = tiny_test_config(net="vgg16")
+    det = get_model("vgg16", cfg)
+    _, mask, _ = det.init(jax.random.key(0))
+    assert mask["conv1_1"]["kernel"] is False
+    assert mask["conv2_2"]["kernel"] is False
+    assert mask["conv3_1"]["kernel"] is True
+
+
+def test_squeezedet_param_count_full_size():
+    """Reference model_metrics totals derive from the layer formula
+    (1+k*k*cin)*cout (nn_skeleton.py:451-453); spot-check conv1+conv12."""
+    cfg = config_for_net("squeezeDet").replace(load_pretrained_model=False)
+    det = get_model("squeezeDet", cfg)
+    _, _, tracer = det.init(jax.random.key(0))
+    sizes = dict(tracer.model_size_counter)
+    assert sizes["conv1"] == (1 + 9 * 3) * 64
+    assert sizes["conv12"] == (1 + 9 * 768) * 72
+    assert tracer.total_params() == 2082120  # fire2..11 + conv1 + conv12

@@ -1,0 +1,60 @@
+"""Device postprocess parity vs the host filter_prediction path."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from squeezedet_tpu.ops.nms import filter_prediction_np
+from squeezedet_tpu.ops.postprocess import (device_results_to_lists,
+                                            filter_prediction_device)
+
+
+def _random_dets(rng, n=400, classes=3):
+    boxes = np.stack([
+        rng.rand(n) * 800 + 100,   # cx
+        rng.rand(n) * 300 + 50,    # cy
+        rng.rand(n) * 100 + 20,    # w
+        rng.rand(n) * 80 + 20,     # h
+    ], axis=1).astype(np.float32)
+    probs = rng.rand(n).astype(np.float32)
+    cls = rng.randint(0, classes, n).astype(np.int32)
+    return boxes, probs, cls
+
+
+def test_device_matches_host(rng):
+    for trial in range(5):
+        boxes, probs, cls = _random_dets(rng)
+        db, dp, dc, keep = filter_prediction_device(
+            jnp.asarray(boxes)[None], jnp.asarray(probs)[None],
+            jnp.asarray(cls)[None], top_n=64, nms_thresh=0.4, num_classes=3)
+        got = device_results_to_lists(
+            np.asarray(db[0]), np.asarray(dp[0]), np.asarray(dc[0]),
+            np.asarray(keep[0]), num_classes=3)
+        want = filter_prediction_np(
+            boxes, probs, cls, classes=3, top_n_detection=64,
+            prob_thresh=0.005, nms_thresh=0.4)
+        assert len(got[0]) == len(want[0])
+        np.testing.assert_allclose(
+            np.asarray(got[0]), np.asarray(want[0]), rtol=1e-5)
+        np.testing.assert_allclose(got[1], want[1], rtol=1e-5)
+        assert got[2] == want[2]
+
+
+def test_device_batched_shapes(rng):
+    boxes, probs, cls = _random_dets(rng)
+    b4 = jnp.stack([jnp.asarray(boxes)] * 4)
+    p4 = jnp.stack([jnp.asarray(probs)] * 4)
+    c4 = jnp.stack([jnp.asarray(cls)] * 4)
+    db, dp, dc, keep = filter_prediction_device(
+        b4, p4, c4, top_n=64, nms_thresh=0.4, num_classes=3)
+    assert db.shape == (4, 64, 4) and keep.shape == (4, 64)
+    # batch entries identical -> identical results
+    np.testing.assert_array_equal(np.asarray(keep[0]), np.asarray(keep[3]))
+
+
+def test_probs_descending(rng):
+    boxes, probs, cls = _random_dets(rng)
+    _, dp, _, _ = filter_prediction_device(
+        jnp.asarray(boxes)[None], jnp.asarray(probs)[None],
+        jnp.asarray(cls)[None], top_n=64, nms_thresh=0.4, num_classes=3)
+    p = np.asarray(dp[0])
+    assert (np.diff(p) <= 1e-7).all()

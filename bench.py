@@ -1,0 +1,95 @@
+"""Benchmark harness: SqueezeDet inference throughput on one chip.
+
+Prints ONE JSON line:
+  {"metric": "images_per_sec_per_chip", "value": N, "unit": "img/s",
+   "vs_baseline": N / 2000.0}
+
+The baseline denominator is the driver's north-star target of 2000
+images/sec/chip at 1242x375-class resolution (BASELINE.json); the
+reference paper's own headline is 57.2 FPS on a TITAN X.
+
+Measures the full on-device inference program — backbone + ConvDet +
+decode + top-K + NMS (predict_postprocessed) — at the largest batch that
+fits comfortably, bf16 compute / f32 params.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def bench(batch_size: int = 64, iters: int = 30, warmup: int = 5,
+          compute_dtype: str = "bfloat16", net: str = "squeezeDet",
+          postprocess: bool = True) -> dict:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from squeezedet_tpu.config import config_for_net
+    from squeezedet_tpu.models import get_model
+
+    cfg = config_for_net(net).replace(
+        load_pretrained_model=False, batch_size=batch_size,
+        compute_dtype=compute_dtype)
+    det = get_model(net, cfg)
+    params, _, _ = det.init(jax.random.key(0))
+
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(
+        rng.randn(batch_size, cfg.image_height, cfg.image_width, 3)
+        .astype(np.float32))
+
+    if postprocess:
+        fn = jax.jit(lambda p, x: det.predict_postprocessed(p, x))
+    else:
+        fn = jax.jit(lambda p, x: det.predict(p, x))
+
+    out = fn(params, images)
+    jax.block_until_ready(out)
+    for _ in range(warmup):
+        out = fn(params, images)
+    jax.block_until_ready(out)
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(params, images)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    images_per_sec = batch_size * iters / dt
+    return {
+        "metric": "images_per_sec_per_chip",
+        "value": round(images_per_sec, 1),
+        "unit": "img/s",
+        "vs_baseline": round(images_per_sec / 2000.0, 3),
+        "detail": {
+            "net": net,
+            "batch_size": batch_size,
+            "resolution": [cfg.image_height, cfg.image_width],
+            "compute_dtype": compute_dtype,
+            "includes_postprocess": postprocess,
+            "ms_per_batch": round(dt / iters * 1000, 2),
+            "p50_latency_ms_batch1": None,
+        },
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch_size", type=int, default=64)
+    ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument("--net", default="squeezeDet")
+    ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--no_postprocess", action="store_true")
+    args = ap.parse_args()
+    result = bench(batch_size=args.batch_size, iters=args.iters,
+                   net=args.net, compute_dtype=args.dtype,
+                   postprocess=not args.no_postprocess)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

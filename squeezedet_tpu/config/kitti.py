@@ -122,6 +122,22 @@ def grid_for_net(net: str, size: int) -> int:
     raise ValueError("unknown net %r" % net)
 
 
+def custom_kitti_config(net: str, image_width: int, image_height: int,
+                        batch_size: int = 20) -> ModelConfig:
+    """KITTI config at a non-standard resolution.
+
+    No reference equivalent (resolutions are hard-coded per model there);
+    the anchor grid is derived from the backbone's downsampling
+    arithmetic and the same 9-shape table.
+    """
+    shapes = (RESNET50_ANCHOR_SHAPES if net == "resnet50"
+              else SQUEEZEDET_ANCHOR_SHAPES)
+    return _kitti_config(net, image_width, image_height,
+                         grid_for_net(net, image_width),
+                         grid_for_net(net, image_height),
+                         shapes, batch_size=batch_size)
+
+
 def tiny_test_config(
     net: str = "squeezeDet",
     image_width: int = 96,

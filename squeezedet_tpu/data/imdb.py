@@ -1,0 +1,282 @@
+"""Image-database base class: epoch-shuffled batch reading, augmentation
+and anchor-target assignment.
+
+Behavioural contract from reference ``src/dataset/imdb.py``:
+
+* ``read_image_batch`` (imdb.py:63-97): BGR float32, mean-subtracted,
+  resized to model resolution, returning per-image (x, y) scales;
+* ``read_batch`` (imdb.py:99-249): random drift crop that keeps every GT
+  box inside the image, 50%% horizontal flip, resize, GT scaling, and the
+  greedy best-IoU "unclaimed anchor" assignment with a nearest-anchor
+  fallback (imdb.py:197-235) and delta encoding
+  dx=(cx-ax)/aw, dy=(cy-ay)/ah, dw=log(w/aw), dh=log(h/ah);
+* ``visualize_detections`` (imdb.py:254-305): error-type gallery images.
+
+The sampler is protected by a lock so multi-threaded prefetch is safe by
+construction (the reference mutates ``_cur_idx`` from 4 threads and is
+saved only by the GIL — SURVEY §5.2).
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import shutil
+import threading
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from squeezedet_tpu.config import ModelConfig
+from squeezedet_tpu.ops.boxes import batch_iou
+
+
+class Imdb:
+    """Image database base class."""
+
+    def __init__(self, name: str, mc: ModelConfig,
+                 rng: Optional[np.random.RandomState] = None):
+        self._name = name
+        self._classes: Sequence[str] = []
+        self._image_set = ""
+        self._image_idx: List[str] = []
+        self._data_root_path = ""
+        self._rois: Dict[str, list] = {}
+        self.mc = mc
+        self._rng = rng if rng is not None else np.random.RandomState()
+
+        # batch reader state
+        self._perm_idx: Optional[List[str]] = None
+        self._cur_idx = 0
+        self._lock = threading.Lock()
+
+    # -- properties mirroring the reference API (imdb.py:30-56) ------------
+    @property
+    def name(self):
+        return self._name
+
+    @property
+    def classes(self):
+        return self._classes
+
+    @property
+    def num_classes(self):
+        return len(self._classes)
+
+    @property
+    def image_idx(self):
+        return self._image_idx
+
+    @property
+    def image_set(self):
+        return self._image_set
+
+    @property
+    def data_root_path(self):
+        return self._data_root_path
+
+    # -- sampler ------------------------------------------------------------
+    def _shuffle_image_idx(self):
+        perm = self._rng.permutation(np.arange(len(self._image_idx)))
+        self._perm_idx = [self._image_idx[i] for i in perm]
+        self._cur_idx = 0
+
+    def _next_batch_idx(self, shuffle: bool) -> List[str]:
+        """Thread-safe version of the index window logic (imdb.py:115-127)."""
+        mc = self.mc
+        with self._lock:
+            if shuffle:
+                if self._cur_idx + mc.batch_size >= len(self._image_idx):
+                    self._shuffle_image_idx()
+                batch_idx = self._perm_idx[
+                    self._cur_idx:self._cur_idx + mc.batch_size]
+                self._cur_idx += mc.batch_size
+            else:
+                if self._cur_idx + mc.batch_size >= len(self._image_idx):
+                    batch_idx = (
+                        self._image_idx[self._cur_idx:]
+                        + self._image_idx[:self._cur_idx + mc.batch_size
+                                          - len(self._image_idx)])
+                    self._cur_idx += mc.batch_size - len(self._image_idx)
+                else:
+                    batch_idx = self._image_idx[
+                        self._cur_idx:self._cur_idx + mc.batch_size]
+                    self._cur_idx += mc.batch_size
+        return batch_idx
+
+    def _image_path_at(self, idx: str) -> str:
+        raise NotImplementedError
+
+    # -- reading ------------------------------------------------------------
+    def read_image_batch(self, shuffle: bool = True):
+        """Images only (eval path, imdb.py:63-97).
+
+        Returns (images, scales): list of [H, W, 3] arrays and per-image
+        (x_scale, y_scale).
+        """
+        import cv2
+        mc = self.mc
+        batch_idx = self._next_batch_idx(shuffle)
+        images, scales = [], []
+        for i in batch_idx:
+            im = cv2.imread(self._image_path_at(i)).astype(np.float32)
+            im -= mc.bgr_means_array()
+            orig_h, orig_w, _ = [float(v) for v in im.shape]
+            im = cv2.resize(im, (mc.image_width, mc.image_height))
+            images.append(im)
+            scales.append((mc.image_width / orig_w, mc.image_height / orig_h))
+        return images, scales
+
+    def read_batch(self, shuffle: bool = True):
+        """Images + training annotations (imdb.py:99-249).
+
+        Returns (image_per_batch, label_per_batch, delta_per_batch,
+        aidx_per_batch, bbox_per_batch) exactly like the reference.
+        """
+        import cv2
+        mc = self.mc
+        batch_idx = self._next_batch_idx(shuffle)
+
+        image_per_batch, label_per_batch = [], []
+        bbox_per_batch, delta_per_batch, aidx_per_batch = [], [], []
+
+        for idx in batch_idx:
+            im = cv2.imread(self._image_path_at(idx)).astype(np.float32)
+            im -= mc.bgr_means_array()
+            orig_h, orig_w, _ = [float(v) for v in im.shape]
+
+            label_per_batch.append([b[4] for b in self._rois[idx][:]])
+            gt_bbox = np.array(
+                [[b[0], b[1], b[2], b[3]] for b in self._rois[idx][:]])
+
+            if mc.data_augmentation:
+                assert mc.drift_x >= 0 and mc.drift_y > 0, \
+                    'mc.DRIFT_X and mc.DRIFT_Y must be >= 0'
+                if mc.drift_x > 0 or mc.drift_y > 0:
+                    # keep every gt box inside the image (imdb.py:155-162)
+                    max_drift_x = min(gt_bbox[:, 0] - gt_bbox[:, 2] / 2.0 + 1)
+                    max_drift_y = min(gt_bbox[:, 1] - gt_bbox[:, 3] / 2.0 + 1)
+                    assert max_drift_x >= 0 and max_drift_y >= 0, \
+                        'bbox out of image'
+                    dy = self._rng.randint(-mc.drift_y,
+                                           min(mc.drift_y + 1, max_drift_y))
+                    dx = self._rng.randint(-mc.drift_x,
+                                           min(mc.drift_x + 1, max_drift_x))
+                    gt_bbox[:, 0] -= dx
+                    gt_bbox[:, 1] -= dy
+                    orig_h -= dy
+                    orig_w -= dx
+                    orig_x, dist_x = max(dx, 0), max(-dx, 0)
+                    orig_y, dist_y = max(dy, 0), max(-dy, 0)
+                    distorted = np.zeros((int(orig_h), int(orig_w), 3),
+                                         np.float32)
+                    distorted[dist_y:, dist_x:, :] = im[orig_y:, orig_x:, :]
+                    im = distorted
+
+                # 50% horizontal flip (imdb.py:180-182)
+                if self._rng.randint(2) > 0.5:
+                    im = im[:, ::-1, :]
+                    gt_bbox[:, 0] = orig_w - 1 - gt_bbox[:, 0]
+
+            im = cv2.resize(im, (mc.image_width, mc.image_height))
+            image_per_batch.append(im)
+
+            x_scale = mc.image_width / orig_w
+            y_scale = mc.image_height / orig_h
+            gt_bbox[:, 0::2] *= x_scale
+            gt_bbox[:, 1::2] *= y_scale
+            bbox_per_batch.append(gt_bbox)
+
+            aidx_per_image, delta_per_image = assign_anchors(
+                gt_bbox, np.asarray(mc.anchor_box))
+            delta_per_batch.append(delta_per_image)
+            aidx_per_batch.append(aidx_per_image)
+
+        return (image_per_batch, label_per_batch, delta_per_batch,
+                aidx_per_batch, bbox_per_batch)
+
+    def evaluate_detections(self, eval_dir, global_step, all_boxes):
+        raise NotImplementedError
+
+    # -- error-type gallery (imdb.py:254-305) --------------------------------
+    def visualize_detections(self, image_dir, image_format, det_error_file,
+                             output_image_dir, num_det_per_type=10):
+        from PIL import Image, ImageDraw
+
+        with open(det_error_file) as f:
+            lines = f.readlines()
+        random.shuffle(lines)
+
+        dets_per_type: Dict[str, list] = {}
+        for line in lines:
+            obj = line.strip().split(' ')
+            dets_per_type.setdefault(obj[1], []).append({
+                'im_idx': obj[0],
+                'bbox': [float(obj[2]), float(obj[3]),
+                         float(obj[4]), float(obj[5])],
+                'class': obj[6],
+                'score': float(obj[7]),
+            })
+
+        out_ims = []
+        color = (200, 200, 0)
+        for error_type, dets in dets_per_type.items():
+            det_im_dir = os.path.join(output_image_dir, error_type)
+            if os.path.exists(det_im_dir):
+                shutil.rmtree(det_im_dir)
+            os.makedirs(det_im_dir)
+            for i in range(min(num_det_per_type, len(dets))):
+                det = dets[i]
+                im = Image.open(
+                    os.path.join(image_dir, det['im_idx'] + image_format))
+                draw = ImageDraw.Draw(im)
+                draw.rectangle(det['bbox'], outline=color)
+                draw.text((det['bbox'][0], det['bbox'][1]),
+                          '{:s} ({:.2f})'.format(det['class'], det['score']),
+                          fill=color)
+                im.save(os.path.join(det_im_dir, str(i) + image_format))
+                out_ims.append(np.array(im)[:, :, ::-1])  # RGB -> BGR
+        return out_ims
+
+
+def assign_anchors(gt_bbox: np.ndarray, anchor_box: np.ndarray
+                   ) -> Tuple[List[int], List[List[float]]]:
+    """Greedy anchor-target assignment (imdb.py:195-236).
+
+    Per GT box in order: the highest-IoU anchor not yet claimed by an
+    earlier box in this image; if every positive-IoU anchor is claimed (or
+    all IoUs are zero), the nearest unclaimed anchor by squared distance
+    in (cx, cy, w, h) space.  Returns (anchor indices, deltas).
+    """
+    num_anchors = len(anchor_box)
+    aidx_per_image: List[int] = []
+    delta_per_image: List[List[float]] = []
+    aidx_set = set()
+    for i in range(len(gt_bbox)):
+        overlaps = batch_iou(anchor_box, gt_bbox[i])
+        aidx = num_anchors
+        for ov_idx in np.argsort(overlaps)[::-1]:
+            if overlaps[ov_idx] <= 0:
+                break
+            if ov_idx not in aidx_set:
+                aidx_set.add(ov_idx)
+                aidx = ov_idx
+                break
+        if aidx == num_anchors:
+            dist = np.sum(np.square(gt_bbox[i] - anchor_box), axis=1)
+            for dist_idx in np.argsort(dist):
+                if dist_idx not in aidx_set:
+                    aidx_set.add(dist_idx)
+                    aidx = dist_idx
+                    break
+
+        box_cx, box_cy, box_w, box_h = gt_bbox[i]
+        delta = [
+            (box_cx - anchor_box[aidx][0]) / anchor_box[aidx][2],
+            (box_cy - anchor_box[aidx][1]) / anchor_box[aidx][3],
+            float(np.log(box_w / anchor_box[aidx][2])),
+            float(np.log(box_h / anchor_box[aidx][3])),
+        ]
+        aidx_per_image.append(int(aidx))
+        delta_per_image.append(delta)
+    return aidx_per_image, delta_per_image

@@ -1,0 +1,287 @@
+"""KITTI dataset: annotation loading, detection-file writing, official
+mAP scoring, error analysis.
+
+Behavioural contract from reference ``src/dataset/kitti.py``:
+
+* label parsing with difficulty levels from height/truncation/occlusion
+  (kitti.py:53-98), boxes stored center-format via the +1 convention;
+* ``evaluate_detections`` (kitti.py:100-159): writes one KITTI-format det
+  file per image, runs the native evaluator, parses
+  ``stats_{cls}_ap.txt`` into 9 APs;
+* ``analyze_detections`` (kitti.py:182-296): correct/loc/cls/bg/repeated/
+  missed error taxonomy at IoU 0.1/0.5 bands.
+
+The scorer is the C++ binary under ``squeezedet_tpu/native/kitti_eval``
+(same CLI as the reference's evaluate_object); when it is not built, the
+bit-equivalent pure-Python scorer (``kitti_ap.py``) runs in-process.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from squeezedet_tpu.data.imdb import Imdb
+from squeezedet_tpu.ops.boxes import batch_iou, bbox_transform_inv
+
+_NATIVE_EVAL = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "native", "kitti_eval", "evaluate_object")
+
+
+def get_obj_level(obj: List[str]) -> int:
+    """KITTI difficulty level 1..4 from a parsed label line
+    (kitti.py:54-65)."""
+    height = float(obj[7]) - float(obj[5]) + 1
+    truncation = float(obj[1])
+    occlusion = float(obj[2])
+    if height >= 40 and truncation <= 0.15 and occlusion <= 0:
+        return 1
+    elif height >= 25 and truncation <= 0.3 and occlusion <= 1:
+        return 2
+    elif height >= 25 and truncation <= 0.5 and occlusion <= 2:
+        return 3
+    else:
+        return 4
+
+
+class Kitti(Imdb):
+    def __init__(self, image_set: str, data_path: str, mc, rng=None,
+                 eval_tool: Optional[str] = None):
+        super().__init__('kitti_' + image_set, mc, rng=rng)
+        self._image_set = image_set
+        self._data_root_path = data_path
+        self._image_path = os.path.join(data_path, 'training', 'image_2')
+        self._label_path = os.path.join(data_path, 'training', 'label_2')
+        self._classes = mc.class_names
+        self._class_to_idx = dict(zip(self._classes,
+                                      range(self.num_classes)))
+        self._image_idx = self._load_image_set_idx()
+        self._rois = self._load_kitti_annotation()
+        self._shuffle_image_idx()
+        self._eval_tool = eval_tool if eval_tool is not None else _NATIVE_EVAL
+
+    def _load_image_set_idx(self) -> List[str]:
+        image_set_file = os.path.join(
+            self._data_root_path, 'ImageSets', self._image_set + '.txt')
+        assert os.path.exists(image_set_file), \
+            'File does not exist: {}'.format(image_set_file)
+        with open(image_set_file) as f:
+            return [x.strip() for x in f.readlines()]
+
+    def _image_path_at(self, idx: str) -> str:
+        image_path = os.path.join(self._image_path, idx + '.png')
+        assert os.path.exists(image_path), \
+            'Image does not exist: {}'.format(image_path)
+        return image_path
+
+    def _load_kitti_annotation(self) -> Dict[str, list]:
+        idx2annotation = {}
+        for index in self._image_idx:
+            filename = os.path.join(self._label_path, index + '.txt')
+            with open(filename) as f:
+                lines = f.readlines()
+            bboxes = []
+            for line in lines:
+                obj = line.strip().split(' ')
+                try:
+                    cls = self._class_to_idx[obj[0].lower().strip()]
+                except KeyError:
+                    continue
+                if self.mc.exclude_hard_examples and get_obj_level(obj) > 3:
+                    continue
+                xmin, ymin = float(obj[4]), float(obj[5])
+                xmax, ymax = float(obj[6]), float(obj[7])
+                assert 0.0 <= xmin <= xmax, \
+                    'Invalid bounding box x-coord xmin {} or xmax {} at ' \
+                    '{}.txt'.format(xmin, xmax, index)
+                assert 0.0 <= ymin <= ymax, \
+                    'Invalid bounding box y-coord ymin {} or ymax {} at ' \
+                    '{}.txt'.format(ymin, ymax, index)
+                x, y, w, h = bbox_transform_inv([xmin, ymin, xmax, ymax])
+                bboxes.append([x, y, w, h, cls])
+            idx2annotation[index] = bboxes
+        return idx2annotation
+
+    # -- evaluation ---------------------------------------------------------
+    def write_detection_files(self, det_file_dir: str, all_boxes) -> None:
+        """One KITTI-format txt per image (kitti.py:116-127)."""
+        os.makedirs(det_file_dir, exist_ok=True)
+        for im_idx, index in enumerate(self._image_idx):
+            filename = os.path.join(det_file_dir, index + '.txt')
+            with open(filename, 'wt') as f:
+                for cls_idx, cls in enumerate(self._classes):
+                    dets = all_boxes[cls_idx][im_idx]
+                    for k in range(len(dets)):
+                        f.write(
+                            '{:s} -1 -1 0.0 {:.2f} {:.2f} {:.2f} {:.2f} 0.0 '
+                            '0.0 0.0 0.0 0.0 0.0 0.0 {:.3f}\n'.format(
+                                cls.lower(), dets[k][0], dets[k][1],
+                                dets[k][2], dets[k][3], dets[k][4]))
+
+    def run_scorer(self, result_dir: str) -> int:
+        """Run the native evaluator (or the in-process python scorer)."""
+        gt_training_dir = os.path.join(self._data_root_path, 'training')
+        image_set_file = os.path.join(self._data_root_path, 'ImageSets',
+                                      self._image_set + '.txt')
+        n = len(self._image_idx)
+        if os.path.exists(self._eval_tool):
+            cmd = [self._eval_tool, gt_training_dir, image_set_file,
+                   result_dir, str(n)]
+            print('Running: {}'.format(' '.join(cmd)))
+            return subprocess.call(cmd)
+        from squeezedet_tpu.data.kitti_ap import evaluate
+        print('Native evaluator not built; using in-process scorer')
+        evaluate(result_dir, image_set_file,
+                 os.path.join(gt_training_dir, 'label_2'), n)
+        return 0
+
+    def evaluate_detections(self, eval_dir: str, global_step,
+                            all_boxes) -> Tuple[List[float], List[str]]:
+        """Write det files, score, parse 9 APs (kitti.py:100-159).
+
+        all_boxes[cls][image] = list of [xmin, ymin, xmax, ymax, score].
+        """
+        det_file_dir = os.path.join(
+            eval_dir, 'detection_files_{:s}'.format(str(global_step)),
+            'data')
+        self.write_detection_files(det_file_dir, all_boxes)
+        result_dir = os.path.dirname(det_file_dir)
+        self.run_scorer(result_dir)
+
+        aps, names = [], []
+        for cls in self._classes:
+            det_file_name = os.path.join(
+                result_dir, 'stats_{:s}_ap.txt'.format(cls))
+            if os.path.exists(det_file_name):
+                with open(det_file_name) as f:
+                    lines = f.readlines()
+                assert len(lines) == 3, \
+                    'Line number of {} should be 3'.format(det_file_name)
+                aps.extend(float(line.split('=')[1].strip())
+                           for line in lines)
+            else:
+                aps.extend([0.0, 0.0, 0.0])
+            names.extend([cls + '_easy', cls + '_medium', cls + '_hard'])
+        return aps, names
+
+    # -- error analysis (kitti.py:161-296) -----------------------------------
+    def do_detection_analysis_in_eval(self, eval_dir, global_step):
+        det_file_dir = os.path.join(
+            eval_dir, 'detection_files_{:s}'.format(str(global_step)),
+            'data')
+        det_error_dir = os.path.join(
+            eval_dir, 'detection_files_{:s}'.format(str(global_step)),
+            'error_analysis')
+        os.makedirs(det_error_dir, exist_ok=True)
+        det_error_file = os.path.join(det_error_dir, 'det_error_file.txt')
+        stats = self.analyze_detections(det_file_dir, det_error_file)
+        ims = self.visualize_detections(
+            image_dir=self._image_path, image_format='.png',
+            det_error_file=det_error_file,
+            output_image_dir=det_error_dir, num_det_per_type=10)
+        return stats, ims
+
+    def analyze_detections(self, detection_file_dir, det_error_file):
+        def _save_detection(f, idx, error_type, det, score):
+            f.write(
+                '{:s} {:s} {:.1f} {:.1f} {:.1f} {:.1f} {:s} {:.3f}\n'.format(
+                    idx, error_type,
+                    det[0] - det[2] / 2., det[1] - det[3] / 2.,
+                    det[0] + det[2] / 2., det[1] + det[3] / 2.,
+                    self._classes[int(det[4])], score))
+
+        # load detections back in center format
+        self._det_rois = {}
+        for idx in self._image_idx:
+            det_file_name = os.path.join(detection_file_dir, idx + '.txt')
+            with open(det_file_name) as f:
+                lines = f.readlines()
+            bboxes = []
+            for line in lines:
+                obj = line.strip().split(' ')
+                cls = self._class_to_idx[obj[0].lower().strip()]
+                xmin, ymin = float(obj[4]), float(obj[5])
+                xmax, ymax = float(obj[6]), float(obj[7])
+                score = float(obj[-1])
+                x, y, w, h = bbox_transform_inv([xmin, ymin, xmax, ymax])
+                bboxes.append([x, y, w, h, cls, score])
+            bboxes.sort(key=lambda x: x[-1], reverse=True)
+            self._det_rois[idx] = bboxes
+
+        num_objs = num_dets = num_correct = 0.
+        num_loc_error = num_cls_error = num_bg_error = 0.
+        num_repeated_error = num_detected_obj = 0.
+
+        with open(det_error_file, 'w') as f:
+            for idx in self._image_idx:
+                gt_bboxes = np.array(self._rois[idx])
+                num_objs += len(gt_bboxes)
+                detected = [False] * len(gt_bboxes)
+
+                det_bboxes = self._det_rois[idx]
+                if len(gt_bboxes) < 1:
+                    continue
+
+                for i, det in enumerate(det_bboxes):
+                    if i < len(gt_bboxes):
+                        num_dets += 1
+                    ious = batch_iou(gt_bboxes[:, :4], det[:4])
+                    max_iou = np.max(ious)
+                    gt_idx = np.argmax(ious)
+                    if max_iou > 0.1:
+                        if gt_bboxes[gt_idx, 4] == det[4]:
+                            if max_iou >= 0.5:
+                                if i < len(gt_bboxes):
+                                    if not detected[gt_idx]:
+                                        num_correct += 1
+                                        detected[gt_idx] = True
+                                    else:
+                                        num_repeated_error += 1
+                            else:
+                                if i < len(gt_bboxes):
+                                    num_loc_error += 1
+                                    _save_detection(f, idx, 'loc', det,
+                                                    det[5])
+                        else:
+                            if i < len(gt_bboxes):
+                                num_cls_error += 1
+                                _save_detection(f, idx, 'cls', det, det[5])
+                    else:
+                        if i < len(gt_bboxes):
+                            num_bg_error += 1
+                            _save_detection(f, idx, 'bg', det, det[5])
+
+                for i, gt in enumerate(gt_bboxes):
+                    if not detected[i]:
+                        _save_detection(f, idx, 'missed', gt, -1.0)
+                num_detected_obj += sum(detected)
+
+        print('Detection Analysis:')
+        print('    Number of detections: {}'.format(num_dets))
+        print('    Number of objects: {}'.format(num_objs))
+        print('    Percentage of correct detections: {}'.format(
+            num_correct / num_dets))
+        print('    Percentage of localization error: {}'.format(
+            num_loc_error / num_dets))
+        print('    Percentage of classification error: {}'.format(
+            num_cls_error / num_dets))
+        print('    Percentage of background error: {}'.format(
+            num_bg_error / num_dets))
+        print('    Percentage of repeated detections: {}'.format(
+            num_repeated_error / num_dets))
+        print('    Recall: {}'.format(num_detected_obj / num_objs))
+
+        return {
+            'num of detections': num_dets,
+            'num of objects': num_objs,
+            '% correct detections': num_correct / num_dets,
+            '% localization error': num_loc_error / num_dets,
+            '% classification error': num_cls_error / num_dets,
+            '% background error': num_bg_error / num_dets,
+            '% repeated error': num_repeated_error / num_dets,
+            '% recall': num_detected_obj / num_objs,
+        }

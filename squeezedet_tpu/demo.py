@@ -1,0 +1,171 @@
+"""Demo entry point: image and video detection (reference src/demo.py).
+
+Image mode: glob inputs, resize to model resolution, detect, draw
+class-colored boxes, write ``out_<name>`` (demo.py:161-225).  Video
+mode: per-frame crop ``[500:-205, 239:-439]`` + per-stage timing
+(demo.py:44-158).  Only squeezeDet / squeezeDet+ are supported, like the
+reference (demo.py:58-59, 164-165).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import time
+
+import numpy as np
+
+CLS2CLR = {
+    'car': (255, 191, 0),
+    'cyclist': (0, 191, 255),
+    'pedestrian': (255, 0, 191),
+}
+
+
+def build_arg_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="SqueezeDet demo (TPU)")
+    p.add_argument('--mode', default='image', choices=['image', 'video'])
+    p.add_argument('--checkpoint',
+                   default='./data/model_checkpoints/squeezeDet',
+                   help='Checkpoint directory (orbax), exact step dir, or '
+                        'TF1 .ckpt / caffe .pkl weight file.')
+    p.add_argument('--input_path', default='./data/sample.png',
+                   help='Image glob or video file.')
+    p.add_argument('--out_dir', default='./data/out/')
+    p.add_argument('--demo_net', default='squeezeDet')
+    p.add_argument('--compute_dtype', default='')
+    return p
+
+
+def load_params(det, checkpoint: str):
+    """Restore model params from any supported checkpoint flavor."""
+    import jax
+
+    from squeezedet_tpu.checkpoint.importer import load_pretrained
+    from squeezedet_tpu.checkpoint.manager import (CheckpointManager,
+                                                   latest_step)
+
+    if os.path.isdir(checkpoint):
+        template_params, _, _ = det.init(jax.random.key(0))
+        if latest_step(checkpoint) is not None:
+            from squeezedet_tpu.optim import build_optimizer
+            from squeezedet_tpu.trainer import TrainState
+            _, mask, _ = det.init(jax.random.key(0))
+            tx = build_optimizer(det.cfg, mask)
+            template = TrainState(params=template_params,
+                                  opt_state=tx.init(template_params)
+                                  ).as_tree()
+            mgr = CheckpointManager(checkpoint)
+            step, state = mgr.restore_latest(template)
+            print('Restored step {} from {}'.format(step, checkpoint))
+            return state['params']
+        raise FileNotFoundError(
+            'No model.ckpt-<step> directories in {}'.format(checkpoint))
+    # legacy single-file formats -> re-init with pretrained weights
+    pretrained = load_pretrained(checkpoint)
+    params, _, _ = det.init(jax.random.key(0), pretrained=pretrained)
+    print('Imported legacy weights from {}'.format(checkpoint))
+    return params
+
+
+def _detect_and_draw(det, predict, params, frame, im_input, mc):
+    """Shared detect + filter + draw path. Draws on ``frame`` in place."""
+    import jax.numpy as jnp
+
+    from squeezedet_tpu.utils.util import draw_box
+
+    interp = predict(params, jnp.asarray(im_input[None]))
+    boxes, probs, classes = det.filter_prediction(
+        np.asarray(interp.det_boxes[0]), np.asarray(interp.det_probs[0]),
+        np.asarray(interp.det_class[0]))
+    keep = [i for i in range(len(probs))
+            if probs[i] > mc.plot_prob_thresh]
+    boxes = [boxes[i] for i in keep]
+    probs = [probs[i] for i in keep]
+    classes = [classes[i] for i in keep]
+    draw_box(frame, boxes,
+             [mc.class_names[c] + ': (%.2f)' % p
+              for c, p in zip(classes, probs)],
+             cdict=CLS2CLR)
+    return boxes, probs, classes
+
+
+def image_demo(args):
+    import cv2
+    import jax
+
+    from squeezedet_tpu.config import config_for_net
+    from squeezedet_tpu.models import get_model
+
+    assert args.demo_net in ('squeezeDet', 'squeezeDet+'), \
+        'Selected neural net architecture not supported: {}'.format(
+            args.demo_net)
+    cfg = config_for_net(args.demo_net).replace(
+        batch_size=1, load_pretrained_model=False)
+    if args.compute_dtype:
+        cfg = cfg.replace(compute_dtype=args.compute_dtype)
+    det = get_model(args.demo_net, cfg)
+    params = load_params(det, args.checkpoint)
+    predict = jax.jit(det.predict)
+
+    for f in glob.iglob(args.input_path):
+        im = cv2.imread(f).astype(np.float32)
+        im = cv2.resize(im, (cfg.image_width, cfg.image_height))
+        input_image = im - cfg.bgr_means_array()
+        _detect_and_draw(det, predict, params, im, input_image, cfg)
+        file_name = os.path.split(f)[1]
+        out_file_name = os.path.join(args.out_dir, 'out_' + file_name)
+        cv2.imwrite(out_file_name, np.clip(im, 0, 255).astype(np.uint8))
+        print('Image detection output saved to {}'.format(out_file_name))
+
+
+def video_demo(args):
+    import cv2
+    import jax
+
+    from squeezedet_tpu.config import config_for_net
+    from squeezedet_tpu.models import get_model
+
+    assert args.demo_net in ('squeezeDet', 'squeezeDet+'), \
+        'Selected neural net architecture not supported: {}'.format(
+            args.demo_net)
+    cfg = config_for_net(args.demo_net).replace(
+        batch_size=1, load_pretrained_model=False)
+    det = get_model(args.demo_net, cfg)
+    params = load_params(det, args.checkpoint)
+    predict = jax.jit(det.predict)
+
+    cap = cv2.VideoCapture(args.input_path)
+    count = 0
+    while cap.isOpened():
+        t_start = time.time()
+        count += 1
+        out_im_name = os.path.join(args.out_dir,
+                                   str(count).zfill(6) + '.jpg')
+        ret, frame = cap.read()
+        if not ret:
+            break
+        frame = frame[500:-205, 239:-439, :]  # demo.py:91 crop
+        im_input = frame.astype(np.float32) - cfg.bgr_means_array()
+        t_reshape = time.time()
+        _detect_and_draw(det, predict, params, frame, im_input, cfg)
+        t_detect = time.time()
+        cv2.imwrite(out_im_name, frame)
+        print('Total time: {:.4f}, detection time: {:.4f}, filter time: '
+              '{:.4f}'.format(time.time() - t_start, t_detect - t_reshape,
+                              0.0))
+    cap.release()
+
+
+def main(argv=None):
+    args = build_arg_parser().parse_args(argv)
+    os.makedirs(args.out_dir, exist_ok=True)
+    if args.mode == 'image':
+        image_demo(args)
+    else:
+        video_demo(args)
+
+
+if __name__ == '__main__':
+    main()

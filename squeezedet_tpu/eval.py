@@ -1,0 +1,224 @@
+"""Evaluation entry point: checkpoint-polling daemon (reference
+src/eval.py).
+
+``eval_once`` detects every image in the split, rescales boxes to the
+original resolution (eval.py:81-84), filters, writes KITTI det files,
+runs the mAP scorer and publishes AP/mAP/timing summaries
+(eval.py:48-134).  The daemon loop polls the checkpoint dir, skipping
+steps it has already scored (eval.py:210-239).
+
+Unlike the reference (hard-coded batch 1, eval.py:150-166), batched
+inference is supported via ``--eval_batch_size`` — the default of 1
+preserves reference behaviour and timing semantics.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+
+def build_arg_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Evaluate SqueezeDet (TPU)")
+    p.add_argument('--dataset', default='KITTI')
+    p.add_argument('--data_path', default='', help='Root directory of data')
+    p.add_argument('--image_set', default='test')
+    p.add_argument('--year', default='2007')
+    p.add_argument('--eval_dir', default='/tmp/squeezedet_tpu/logs/eval')
+    p.add_argument('--checkpoint_path',
+                   default='/tmp/squeezedet_tpu/logs/train',
+                   help='Training checkpoint directory (or exact step dir '
+                        'with --run_once).')
+    p.add_argument('--eval_interval_secs', type=int, default=60)
+    p.add_argument('--run_once', action='store_true')
+    p.add_argument('--net', default='squeezeDet')
+    p.add_argument('--eval_batch_size', type=int, default=1)
+    p.add_argument('--compute_dtype', default='')
+    p.add_argument('--skip_analysis', action='store_true',
+                   help='Skip the detection error-type analysis pass.')
+    p.add_argument('--image_width', type=int, default=0,
+                   help='Override input width (0 = model default).')
+    p.add_argument('--image_height', type=int, default=0,
+                   help='Override input height (0 = model default).')
+    return p
+
+
+def detect_all(det, imdb, params, batch_size: int):
+    """Run detection over the whole split.
+
+    Returns (all_boxes[cls][img] = [[x1,y1,x2,y2,score],...],
+    num_detection, timers dict).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from squeezedet_tpu.ops.boxes import bbox_transform
+    from squeezedet_tpu.utils.util import Timer
+
+    num_images = len(imdb.image_idx)
+    all_boxes = [[[] for _ in range(num_images)]
+                 for _ in range(imdb.num_classes)]
+    timers = {'im_detect': Timer(), 'im_read': Timer(), 'misc': Timer()}
+    predict = jax.jit(det.predict)
+
+    num_detection = 0.0
+    imdb._cur_idx = 0
+    for start in range(0, num_images, batch_size):
+        timers['im_read'].tic()
+        images, scales = imdb.read_image_batch(shuffle=False)
+        timers['im_read'].toc()
+
+        timers['im_detect'].tic()
+        interp = predict(params, jnp.asarray(np.stack(images)))
+        # np.array (copy): the boxes are rescaled in place below and
+        # np.asarray views of jax arrays are read-only
+        det_boxes = np.array(interp.det_boxes)
+        det_probs = np.asarray(interp.det_probs)
+        det_class = np.asarray(interp.det_class)
+        timers['im_detect'].toc()
+
+        timers['misc'].tic()
+        for j in range(len(images)):
+            i = start + j
+            if i >= num_images:
+                break  # wrap-around tail of the last batch
+            det_boxes[j, :, 0::2] /= scales[j][0]
+            det_boxes[j, :, 1::2] /= scales[j][1]
+            boxes, probs, classes = det.filter_prediction(
+                det_boxes[j], det_probs[j], det_class[j])
+            num_detection += len(boxes)
+            for c, b, s in zip(classes, boxes, probs):
+                all_boxes[c][i].append(bbox_transform(b) + [s])
+        timers['misc'].toc()
+
+        print('im_detect: {:d}/{:d} im_read: {:.3f}s '
+              'detect: {:.3f}s misc: {:.3f}s'.format(
+                  min(start + batch_size, num_images), num_images,
+                  timers['im_read'].average_time,
+                  timers['im_detect'].average_time,
+                  timers['misc'].average_time))
+    return all_boxes, num_detection, timers
+
+
+def eval_checkpoint(det, imdb, params, global_step, *, eval_dir,
+                    batch_size=1, summary_writer=None,
+                    skip_analysis=False):
+    """Score one checkpoint (reference eval_once, eval.py:48-134)."""
+    all_boxes, num_detection, timers = detect_all(det, imdb, params,
+                                                  batch_size)
+    print('Evaluating detections...')
+    aps, ap_names = imdb.evaluate_detections(eval_dir, global_step,
+                                             all_boxes)
+    num_images = len(imdb.image_idx)
+
+    print('Evaluation summary:')
+    print('  Average number of detections per image: {}:'.format(
+        num_detection / num_images))
+    print('  Timing:')
+    print('    im_read: {:.3f}s detect: {:.3f}s misc: {:.3f}s'.format(
+        timers['im_read'].average_time, timers['im_detect'].average_time,
+        timers['misc'].average_time))
+    print('  Average precisions:')
+    for cls, ap in zip(ap_names, aps):
+        print('    {}: {:.3f}'.format(cls, ap))
+    mAP = float(np.mean(aps))
+    print('    Mean average precision: {:.3f}'.format(mAP))
+
+    if summary_writer is not None:
+        step = int(global_step)
+        for cls, ap in zip(ap_names, aps):
+            summary_writer.scalar('APs/' + cls, ap, step)
+        summary_writer.scalar('APs/mAP', mAP, step)
+        summary_writer.scalar('timing/im_detect',
+                              timers['im_detect'].average_time, step)
+        summary_writer.scalar('timing/im_read',
+                              timers['im_read'].average_time, step)
+        summary_writer.scalar('timing/post_proc',
+                              timers['misc'].average_time, step)
+        summary_writer.scalar('num_det_per_image',
+                              num_detection / num_images, step)
+        summary_writer.flush()
+
+    if not skip_analysis:
+        print('Analyzing detections...')
+        imdb.do_detection_analysis_in_eval(eval_dir, global_step)
+    return aps, ap_names, mAP
+
+
+def main(argv=None):
+    args = build_arg_parser().parse_args(argv)
+    assert args.dataset == 'KITTI', 'Currently only supports KITTI dataset'
+
+    import jax
+
+    from squeezedet_tpu.checkpoint.manager import (CheckpointManager,
+                                                   latest_step)
+    from squeezedet_tpu.config import config_for_net
+    from squeezedet_tpu.data import Kitti
+    from squeezedet_tpu.models import get_model
+    from squeezedet_tpu.summary import SummaryWriter
+    from squeezedet_tpu.trainer import TrainState
+
+    if args.image_width or args.image_height:
+        from squeezedet_tpu.config.kitti import custom_kitti_config
+        base = config_for_net(args.net)
+        cfg = custom_kitti_config(
+            args.net, args.image_width or base.image_width,
+            args.image_height or base.image_height)
+    else:
+        cfg = config_for_net(args.net)
+    cfg = cfg.replace(
+        batch_size=args.eval_batch_size, load_pretrained_model=False,
+        is_training=False)
+    if args.compute_dtype:
+        cfg = cfg.replace(compute_dtype=args.compute_dtype)
+    det = get_model(args.net, cfg)
+    imdb = Kitti(args.image_set, args.data_path, cfg)
+    os.makedirs(args.eval_dir, exist_ok=True)
+    writer = SummaryWriter(args.eval_dir)
+
+    # structure template for orbax restore (params only are consumed,
+    # mirroring Saver(model.model_params), eval.py:205)
+    params0, _, _ = det.init(jax.random.key(0))
+    from squeezedet_tpu.optim import build_optimizer
+    _, mask, _ = det.init(jax.random.key(0))
+    tx = build_optimizer(cfg, mask)
+    template = TrainState(params=params0, opt_state=tx.init(params0)
+                          ).as_tree()
+
+    ckpt = CheckpointManager(args.checkpoint_path)
+    seen = set()
+    while True:
+        step = latest_step(args.checkpoint_path)
+        if step is None:
+            print('No checkpoint file found')
+            if args.run_once:
+                return
+            print('Wait {:d}s for new checkpoints to be saved ... '.format(
+                args.eval_interval_secs))
+            time.sleep(args.eval_interval_secs)
+            continue
+        if step in seen:
+            if args.run_once:
+                return
+            print('Wait {:d}s for new checkpoints to be saved ... '.format(
+                args.eval_interval_secs))
+            time.sleep(args.eval_interval_secs)
+            continue
+        seen.add(step)
+        print('Evaluating step {}...'.format(step))
+        state = ckpt.restore(step, template)
+        eval_checkpoint(det, imdb, state['params'], step,
+                        eval_dir=args.eval_dir,
+                        batch_size=args.eval_batch_size,
+                        summary_writer=writer,
+                        skip_analysis=args.skip_analysis)
+        if args.run_once:
+            return
+
+
+if __name__ == '__main__':
+    main()

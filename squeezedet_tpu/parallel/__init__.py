@@ -1,0 +1,8 @@
+"""Parallelism layer: device meshes and sharded step construction."""
+
+from squeezedet_tpu.parallel.mesh import (  # noqa: F401
+    batch_sharding,
+    make_mesh,
+    replicated_sharding,
+    shard_batch,
+)

@@ -1,0 +1,45 @@
+"""Device mesh + sharding helpers.
+
+The reference is single-GPU (``tf.device('/gpu:id')``,
+squeezeDet.py:21); its TPU-native equivalent is data parallelism over a
+``jax.sharding.Mesh``: parameters and optimizer state replicated, the
+batch dimension sharded over the ``data`` axis, XLA inserting the
+gradient ``psum`` over ICI automatically when the jitted train step
+consumes sharded batches and produces replicated params.
+
+Multi-host: call ``jax.distributed.initialize()`` before building the
+mesh and these helpers pick up all processes' devices.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(num_devices: Optional[int] = None,
+              axis_name: str = "data", devices=None) -> Mesh:
+    """1-D data-parallel mesh over the first ``num_devices`` devices."""
+    if devices is None:
+        devices = jax.devices()
+    if num_devices is not None:
+        devices = devices[:num_devices]
+    return Mesh(np.array(devices), (axis_name,))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
+    """Shard the leading (batch) dimension over the data axis."""
+    return NamedSharding(mesh, P(axis_name))
+
+
+def shard_batch(mesh: Mesh, tree, axis_name: str = "data"):
+    """Device-put a host batch pytree with its leading dim sharded."""
+    sharding = batch_sharding(mesh, axis_name)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)

@@ -1,0 +1,105 @@
+"""Training entry point (reference src/train.py).
+
+CLI flags mirror the reference's tf.app.flags (train.py:25-48); the
+KITTI-only assert, model-metrics dump, auto-resume and summary cadence
+all carry over.  ``--num_devices`` adds data parallelism over a device
+mesh (no reference equivalent; it was single-GPU).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+
+def build_arg_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Train SqueezeDet (TPU)")
+    p.add_argument('--dataset', default='KITTI',
+                   help='Currently only support KITTI dataset.')
+    p.add_argument('--data_path', default='', help='Root directory of data')
+    p.add_argument('--image_set', default='train',
+                   help='Can be train, trainval, val, or test')
+    p.add_argument('--year', default='2007',
+                   help='VOC challenge year. 2007 or 2012. '
+                        'Only used for Pascal VOC dataset')
+    p.add_argument('--train_dir',
+                   default='/tmp/squeezedet_tpu/logs/train',
+                   help='Directory for event logs and checkpoints.')
+    p.add_argument('--max_steps', type=int, default=1000000,
+                   help='Maximum number of batches to run.')
+    p.add_argument('--net', default='squeezeDet',
+                   help='Neural net architecture.')
+    p.add_argument('--pretrained_model_path', default='',
+                   help='Path to the pretrained model.')
+    p.add_argument('--summary_step', type=int, default=10,
+                   help='Number of steps to save summary.')
+    p.add_argument('--checkpoint_step', type=int, default=1000,
+                   help='Number of steps to save checkpoint.')
+    p.add_argument('--num_devices', type=int, default=0,
+                   help='Devices for data parallelism (0 = all).')
+    p.add_argument('--seed', type=int, default=0)
+    p.add_argument('--compute_dtype', default='',
+                   help="Override compute dtype, e.g. 'bfloat16'.")
+    p.add_argument('--no_resume', action='store_true',
+                   help='Do not auto-resume from train_dir checkpoints.')
+    p.add_argument('--image_width', type=int, default=0,
+                   help='Override input width (0 = model default).')
+    p.add_argument('--image_height', type=int, default=0,
+                   help='Override input height (0 = model default).')
+    p.add_argument('--batch_size', type=int, default=0,
+                   help='Override batch size (0 = model default).')
+    return p
+
+
+def main(argv=None):
+    args = build_arg_parser().parse_args(argv)
+    assert args.dataset == 'KITTI', 'Currently only support KITTI dataset'
+
+    from squeezedet_tpu.config import config_for_net
+    from squeezedet_tpu.config.kitti import custom_kitti_config
+    from squeezedet_tpu.data import Kitti
+    from squeezedet_tpu.models import get_model
+    from squeezedet_tpu.parallel.mesh import make_mesh
+    from squeezedet_tpu.summary import SummaryWriter
+    from squeezedet_tpu.trainer import train
+
+    if args.image_width or args.image_height:
+        base = config_for_net(args.net)
+        cfg = custom_kitti_config(
+            args.net, args.image_width or base.image_width,
+            args.image_height or base.image_height)
+    else:
+        cfg = config_for_net(args.net)
+    if args.batch_size:
+        cfg = cfg.replace(batch_size=args.batch_size)
+    cfg = cfg.replace(
+        is_training=True,
+        pretrained_model_path=args.pretrained_model_path,
+        load_pretrained_model=bool(args.pretrained_model_path))
+    if args.compute_dtype:
+        cfg = cfg.replace(compute_dtype=args.compute_dtype)
+
+    det = get_model(args.net, cfg)
+    imdb = Kitti(args.image_set, args.data_path, cfg,
+                 rng=np.random.RandomState(args.seed))
+
+    os.makedirs(args.train_dir, exist_ok=True)
+    writer = SummaryWriter(args.train_dir)
+
+    import jax
+    mesh = None
+    if len(jax.devices()) > 1:
+        mesh = make_mesh(args.num_devices or None)
+
+    train(det, imdb, train_dir=args.train_dir, max_steps=args.max_steps,
+          summary_step=args.summary_step,
+          checkpoint_step=args.checkpoint_step, seed=args.seed, mesh=mesh,
+          resume=not args.no_resume, summary_writer=writer,
+          viz_step=args.summary_step)
+    writer.close()
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,216 @@
+"""Training driver: jitted train step + the train loop.
+
+Replaces the reference's session loop (train.py:102-335): one jitted
+function fuses forward + interpretation + loss + backward + momentum
+update on device; the host loop only feeds prefetched batches, logs,
+checkpoints and (every summary_step) renders detection visualizations.
+Data parallelism: params/opt-state replicated over the mesh, batch
+sharded on the ``data`` axis — XLA inserts the gradient all-reduce.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+from dataclasses import dataclass
+from datetime import datetime
+from functools import partial
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from squeezedet_tpu.checkpoint.manager import CheckpointManager
+from squeezedet_tpu.loader import PrefetchLoader
+from squeezedet_tpu.models import Detector
+from squeezedet_tpu.models.skeleton import Targets
+from squeezedet_tpu.optim import build_optimizer, learning_rate_at
+from squeezedet_tpu.parallel.mesh import (batch_sharding, make_mesh,
+                                          replicated_sharding, shard_batch)
+
+
+@dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: int = 0
+
+    def as_tree(self):
+        return {"params": self.params, "opt_state": self.opt_state,
+                "step": np.asarray(self.step, np.int64)}
+
+    @classmethod
+    def from_tree(cls, tree):
+        return cls(params=tree["params"], opt_state=tree["opt_state"],
+                   step=int(tree["step"]))
+
+
+def make_train_step(det: Detector, tx, mesh=None, donate: bool = True):
+    """Build the jitted train step.
+
+    Signature: (params, opt_state, images, targets, rng) ->
+    (params, opt_state, LossBreakdown).
+    """
+
+    def step_fn(params, opt_state, images, targets: Targets, rng):
+        def loss_fn(p):
+            lb = det.loss(p, images, targets, rng=rng, train=True)
+            return lb.total, lb
+
+        grads, lb = jax.grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = jax.tree.map(lambda p, u: p + u, params, updates)
+        return params, opt_state, lb
+
+    kwargs = {}
+    if donate:
+        kwargs["donate_argnums"] = (0, 1)
+    if mesh is not None:
+        rep = replicated_sharding(mesh)
+        data = batch_sharding(mesh)
+        tg_shard = Targets(data, data, data, data)
+        kwargs["in_shardings"] = (rep, rep, data, tg_shard, rep)
+        kwargs["out_shardings"] = (rep, rep, rep)
+    return jax.jit(step_fn, **kwargs)
+
+
+def viz_prediction_images(det: Detector, params, images_np, targets,
+                          max_images: int = 8):
+    """Draw GT (green) + filtered predictions (red/class colors) on the
+    batch (reference _viz_prediction_result, train.py:74-99).
+
+    ``images_np`` are mean-subtracted BGR floats; means are added back
+    and channels flipped so the summary displays naturally.
+    Returns [N, H, W, 3] uint8 RGB.
+    """
+    from squeezedet_tpu.utils.util import draw_box
+
+    cfg = det.cfg
+    interp = jax.jit(det.predict)(params, jnp.asarray(images_np))
+    det_boxes = np.asarray(interp.det_boxes)
+    det_probs = np.asarray(interp.det_probs)
+    det_class = np.asarray(interp.det_class)
+    mask = np.asarray(targets.input_mask)
+    gt_boxes = np.asarray(targets.box_input)
+    labels = np.asarray(targets.labels)
+
+    out = []
+    n = min(max_images, images_np.shape[0])
+    for i in range(n):
+        im = (images_np[i] + cfg.bgr_means_array()).clip(0, 255) \
+            .astype(np.uint8).copy()
+        owned = np.nonzero(mask[i] > 0)[0]
+        draw_box(im, [gt_boxes[i, a] for a in owned],
+                 [cfg.class_names[int(np.argmax(labels[i, a]))]
+                  for a in owned], (0, 255, 0))
+        boxes, probs, classes = det.filter_prediction(
+            det_boxes[i], det_probs[i], det_class[i])
+        keep = [k for k in range(len(probs))
+                if probs[k] > cfg.plot_prob_thresh]
+        draw_box(im, [boxes[k] for k in keep],
+                 ['%s: (%.2f)' % (cfg.class_names[classes[k]], probs[k])
+                  for k in keep], (0, 0, 255))
+        out.append(im[:, :, ::-1])  # BGR -> RGB
+    return np.stack(out) if out else np.zeros((0, 1, 1, 3), np.uint8)
+
+
+def train(det: Detector, imdb, *, train_dir: str, max_steps: int,
+          summary_step: int = 10, checkpoint_step: int = 1000,
+          seed: int = 0, mesh=None, resume: bool = True,
+          summary_writer=None, log_every: int = 10,
+          pretrained: Optional[dict] = None,
+          viz_step: int = 0) -> TrainState:
+    """Full training loop (reference train.py:102-335)."""
+    cfg = det.cfg
+    os.makedirs(train_dir, exist_ok=True)
+
+    rng = jax.random.key(seed)
+    rng, init_rng = jax.random.split(rng)
+    params, mask, tracer = det.init(init_rng, pretrained=pretrained)
+    det.set_trainable_mask(mask)
+    tx = build_optimizer(cfg, mask)
+    opt_state = tx.init(params)
+    state = TrainState(params=params, opt_state=opt_state, step=0)
+
+    # model_metrics.txt (train.py:138-161)
+    from squeezedet_tpu.utils.metrics import write_model_metrics
+    write_model_metrics(os.path.join(train_dir, "model_metrics.txt"),
+                        tracer)
+
+    # auto-resume from latest checkpoint (train.py:243-245)
+    ckpt = CheckpointManager(train_dir)
+    if resume:
+        step, restored = ckpt.restore_latest(state.as_tree())
+        if step is not None:
+            state = TrainState.from_tree(restored)
+            print("Resumed from step {}".format(state.step))
+
+    if mesh is None and len(jax.devices()) > 1:
+        mesh = make_mesh()
+    train_step = make_train_step(det, tx, mesh=mesh)
+
+    loader = PrefetchLoader(imdb).start()
+    try:
+        params, opt_state = state.params, state.opt_state
+        if mesh is not None:
+            rep = replicated_sharding(mesh)
+            params = jax.device_put(params, rep)
+            opt_state = jax.device_put(opt_state, rep)
+        for step in range(state.step, max_steps):
+            start_time = time.time()
+            images, targets = loader.get()
+            images = jnp.asarray(images)
+            if mesh is not None:
+                images = shard_batch(mesh, images)
+                targets = shard_batch(mesh, targets)
+            rng, step_rng = jax.random.split(rng)
+            params, opt_state, lb = train_step(
+                params, opt_state, images, targets, step_rng)
+
+            do_log = step % log_every == 0
+            do_summary = summary_writer is not None and \
+                step % summary_step == 0
+            if do_log or do_summary:
+                loss_value = float(lb.total)
+                conf_loss = float(lb.conf_loss)
+                bbox_loss = float(lb.bbox_loss)
+                class_loss = float(lb.class_loss)
+                assert not np.isnan(loss_value), (
+                    'Model diverged. Total loss: {}, conf_loss: {}, '
+                    'bbox_loss: {}, class_loss: {}'.format(
+                        loss_value, conf_loss, bbox_loss, class_loss))
+            if do_summary:
+                summary_writer.scalar("loss/total_loss", loss_value, step)
+                summary_writer.scalar("loss/confidence_loss", conf_loss,
+                                      step)
+                summary_writer.scalar("loss/bounding_box_loss", bbox_loss,
+                                      step)
+                summary_writer.scalar("loss/class_loss", class_loss, step)
+                summary_writer.scalar("mean_iou", float(lb.mean_iou), step)
+                summary_writer.scalar("learning_rate",
+                                      learning_rate_at(cfg, step), step)
+                if viz_step and step % viz_step == 0:
+                    ims = viz_prediction_images(
+                        det, params, np.asarray(images), targets)
+                    summary_writer.image("sample_detection_results", ims,
+                                         step, max_outputs=cfg.batch_size)
+            if do_log:
+                duration = time.time() - start_time
+                print('%s: step %d, loss = %.2f (%.1f images/sec; %.3f '
+                      'sec/batch)' % (datetime.now(), step, loss_value,
+                                      cfg.batch_size / duration, duration))
+                sys.stdout.flush()
+
+            if step % checkpoint_step == 0 or (step + 1) == max_steps:
+                state = TrainState(params=jax.device_get(params),
+                                   opt_state=jax.device_get(opt_state),
+                                   step=step + 1)
+                ckpt.save(step, state.as_tree())
+        state = TrainState(params=jax.device_get(params),
+                           opt_state=jax.device_get(opt_state),
+                           step=max_steps)
+        return state
+    finally:
+        loader.stop()

@@ -64,3 +64,12 @@ def test_anchor_centers_are_fractional_inset():
 def test_resnet_uses_own_shape_table():
     cfg = kitti_res50_config()
     np.testing.assert_allclose(cfg.anchor_box[4, 2:], [41.0, 32.0])
+
+
+def test_custom_resolution_config():
+    from squeezedet_tpu.config.kitti import custom_kitti_config
+    cfg = custom_kitti_config("squeezeDet", 640, 192)
+    assert (cfg.grid_w, cfg.grid_h) == (40, 12)
+    assert cfg.anchors == 40 * 12 * 9
+    cfg_p = custom_kitti_config("squeezeDet+", 1242, 375)
+    assert (cfg_p.grid_w, cfg_p.grid_h) == (76, 22)  # matches reference

@@ -1,0 +1,129 @@
+"""Data-layer tests: KITTI loading, augmentation, anchor assignment,
+dense targets, AP scorer."""
+
+import os
+
+import numpy as np
+import pytest
+
+from squeezedet_tpu.config import tiny_test_config
+from squeezedet_tpu.data import Kitti, batch_to_dense_targets
+from squeezedet_tpu.data.imdb import assign_anchors
+from squeezedet_tpu.data.targets import dense_targets_from_batch
+from squeezedet_tpu.ops.boxes import batch_iou, bbox_transform_inv
+from synth_kitti import make_synth_kitti
+
+
+@pytest.fixture(scope="module")
+def kitti_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("kitti")
+    make_synth_kitti(str(root), num_images=6, width=320, height=96)
+    return str(root)
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return tiny_test_config(image_width=320, image_height=96, batch_size=2)
+
+
+def test_kitti_annotation_loading(kitti_root, cfg):
+    db = Kitti("train", kitti_root, cfg, rng=np.random.RandomState(0))
+    assert len(db.image_idx) == 6
+    for idx in db.image_idx:
+        rois = db._rois[idx]
+        assert len(rois) >= 1
+        for (cx, cy, w, h, cls) in rois:
+            assert w > 0 and h > 0 and 0 <= cls < 3
+
+
+def test_read_image_batch_shapes_and_scales(kitti_root, cfg):
+    db = Kitti("train", kitti_root, cfg, rng=np.random.RandomState(0))
+    images, scales = db.read_image_batch(shuffle=False)
+    assert len(images) == cfg.batch_size
+    assert images[0].shape == (cfg.image_height, cfg.image_width, 3)
+    # synth images are already model-sized -> scale 1
+    np.testing.assert_allclose(scales[0], (1.0, 1.0))
+
+
+def test_read_batch_augmentation_keeps_boxes_inside(kitti_root, cfg):
+    aug_cfg = cfg.replace(data_augmentation=True, drift_x=30, drift_y=20)
+    db = Kitti("train", kitti_root, aug_cfg, rng=np.random.RandomState(1))
+    for _ in range(5):
+        imgs, labels, deltas, aidx, bboxes = db.read_batch()
+        for gt in bboxes:
+            assert (gt[:, 2] > 0).all() and (gt[:, 3] > 0).all()
+            # centers must stay within image
+            assert (gt[:, 0] >= 0).all()
+            assert (gt[:, 0] <= aug_cfg.image_width).all()
+
+
+def test_assign_anchors_greedy_unclaimed_semantics(cfg):
+    anchors = np.asarray(cfg.anchor_box)
+    # two identical gt boxes: second must get a different anchor
+    gt = np.array([[100.0, 48.0, 40.0, 40.0],
+                   [100.0, 48.0, 40.0, 40.0]])
+    aidx, deltas = assign_anchors(gt, anchors)
+    assert aidx[0] != aidx[1]
+    # first one gets the argmax-IoU anchor
+    best = int(np.argsort(batch_iou(anchors, gt[0]))[::-1][0])
+    assert aidx[0] == best
+    # delta encoding (imdb.py:228-233)
+    a = anchors[aidx[0]]
+    np.testing.assert_allclose(
+        deltas[0],
+        [(100 - a[0]) / a[2], (48 - a[1]) / a[3],
+         np.log(40 / a[2]), np.log(40 / a[3])], rtol=1e-6)
+
+
+def test_assign_anchors_distance_fallback(cfg):
+    anchors = np.asarray(cfg.anchor_box)
+    # a degenerate far-away box with zero IoU everywhere
+    gt = np.array([[-500.0, -500.0, 1.0, 1.0]])
+    aidx, _ = assign_anchors(gt, anchors)
+    want = int(np.argsort(np.sum(np.square(gt[0] - anchors), axis=1))[0])
+    assert aidx[0] == want
+
+
+def test_dense_targets_first_claim_wins(cfg):
+    tg, ndrop = dense_targets_from_batch(
+        label_per_batch=[[0, 1]],
+        delta_per_batch=[[[0.1] * 4, [0.9] * 4]],
+        aidx_per_batch=[[7, 7]],  # same anchor claimed twice
+        bbox_per_batch=[np.array([[1.0, 2, 3, 4], [5.0, 6, 7, 8]])],
+        num_anchors=cfg.anchors, num_classes=cfg.classes,
+        return_num_discarded=True)
+    assert ndrop == 1
+    assert tg.input_mask[0, 7] == 1.0 and tg.input_mask.sum() == 1.0
+    np.testing.assert_allclose(tg.box_delta_input[0, 7], [0.1] * 4)
+    assert tg.labels[0, 7, 0] == 1.0 and tg.labels[0, 7, 1] == 0.0
+
+
+def test_batch_to_dense_targets_end_to_end(kitti_root, cfg):
+    db = Kitti("train", kitti_root, cfg, rng=np.random.RandomState(0))
+    batch = db.read_batch(shuffle=False)
+    images, tg = batch_to_dense_targets(
+        batch, num_anchors=cfg.anchors, num_classes=cfg.classes)
+    assert images.shape == (cfg.batch_size, cfg.image_height,
+                            cfg.image_width, 3)
+    assert tg.input_mask.shape == (cfg.batch_size, cfg.anchors)
+    assert tg.input_mask.sum() >= cfg.batch_size  # >= 1 object per image
+
+
+def test_hard_example_exclusion(kitti_root):
+    # write one occluded label; with exclude_hard_examples it disappears
+    lbl = os.path.join(kitti_root, "training", "label_2", "000000.txt")
+    with open(lbl) as f:
+        orig = f.read()
+    try:
+        with open(lbl, "a") as f:
+            f.write("Car 0.9 3 0.0 10.00 10.00 30.00 30.00 "
+                    "1.5 1.6 3.7 0.0 1.7 10.0 0.0\n")
+        cfg_ex = tiny_test_config(image_width=320, image_height=96).replace(
+            exclude_hard_examples=True)
+        cfg_in = cfg_ex.replace(exclude_hard_examples=False)
+        n_ex = len(Kitti("train", kitti_root, cfg_ex)._rois["000000"])
+        n_in = len(Kitti("train", kitti_root, cfg_in)._rois["000000"])
+        assert n_in == n_ex + 1
+    finally:
+        with open(lbl, "w") as f:
+            f.write(orig)

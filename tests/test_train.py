@@ -1,0 +1,169 @@
+"""Training subsystem tests: optimizer semantics, jitted train step,
+loader, checkpoint resume, end-to-end loop on synthetic KITTI."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from squeezedet_tpu.config import tiny_test_config
+from squeezedet_tpu.data import Kitti
+from squeezedet_tpu.loader import PrefetchLoader
+from squeezedet_tpu.models import get_model
+from squeezedet_tpu.models.skeleton import Targets
+from squeezedet_tpu.optim import (build_optimizer, clip_by_norm_per_leaf,
+                                  learning_rate_at,
+                                  staircase_exponential_decay)
+from squeezedet_tpu.trainer import TrainState, make_train_step, train
+from synth_kitti import make_synth_kitti
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return tiny_test_config(image_width=96, image_height=96, batch_size=2)
+
+
+@pytest.fixture(scope="module")
+def kitti_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("kitti_train")
+    make_synth_kitti(str(root), num_images=4, width=96, height=96)
+    return str(root)
+
+
+def _toy_targets(cfg, rng):
+    A, C = cfg.anchors, cfg.classes
+    B = cfg.batch_size
+    mask = np.zeros((B, A), np.float32)
+    labels = np.zeros((B, A, C), np.float32)
+    mask[:, 3] = 1.0
+    labels[:, 3, 1] = 1.0
+    return Targets(jnp.asarray(mask),
+                   jnp.asarray(rng.randn(B, A, 4).astype(np.float32) * .1),
+                   jnp.asarray(np.full((B, A, 4), 30.0, np.float32)),
+                   jnp.asarray(labels))
+
+
+def test_staircase_lr_matches_tf_semantics():
+    sched = staircase_exponential_decay(0.01, 10000, 0.5)
+    assert float(sched(0)) == pytest.approx(0.01)
+    assert float(sched(9999)) == pytest.approx(0.01)
+    assert float(sched(10000)) == pytest.approx(0.005)
+    assert float(sched(25000)) == pytest.approx(0.0025)
+    cfg = tiny_test_config()
+    assert learning_rate_at(cfg, 10000) == pytest.approx(
+        cfg.learning_rate * cfg.lr_decay_factor)
+
+
+def test_clip_by_norm_per_leaf():
+    tx = clip_by_norm_per_leaf(1.0)
+    g = {"a": jnp.array([3.0, 4.0]), "b": jnp.array([0.1, 0.1])}
+    clipped, _ = tx.update(g, None)
+    # ||a|| = 5 -> scaled to norm 1; ||b|| < 1 -> untouched
+    np.testing.assert_allclose(np.asarray(clipped["a"]), [0.6, 0.8],
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(clipped["b"]), [0.1, 0.1])
+
+
+def test_momentum_update_matches_tf_momentum():
+    """MomentumOptimizer: accum = m*accum + g; p -= lr*accum."""
+    cfg = tiny_test_config().replace(max_grad_norm=1e9, momentum=0.9,
+                                     learning_rate=0.1)
+    mask = {"w": True}
+    tx = build_optimizer(cfg, mask)
+    params = {"w": jnp.array([1.0])}
+    state = tx.init(params)
+    g = {"w": jnp.array([0.5])}
+    # step 1: accum = 0.5 -> p = 1 - 0.1*0.5 = 0.95
+    up, state = tx.update(g, state, params)
+    params = jax.tree.map(lambda p, u: p + u, params, up)
+    np.testing.assert_allclose(np.asarray(params["w"]), [0.95], rtol=1e-6)
+    # step 2: accum = 0.9*0.5 + 0.5 = 0.95 -> p = 0.95 - 0.095 = 0.855
+    up, state = tx.update(g, state, params)
+    params = jax.tree.map(lambda p, u: p + u, params, up)
+    np.testing.assert_allclose(np.asarray(params["w"]), [0.855], rtol=1e-6)
+
+
+def test_frozen_leaves_never_move(cfg, rng):
+    det = get_model("squeezeDet", cfg)
+    params, mask, _ = det.init(jax.random.key(0))
+    det.set_trainable_mask(mask)
+    tx = build_optimizer(cfg, mask)
+    step = make_train_step(det, tx, donate=False)
+    opt_state = tx.init(params)
+    imgs = jnp.asarray(rng.randn(cfg.batch_size, cfg.image_height,
+                                 cfg.image_width, 3).astype(np.float32))
+    tg = _toy_targets(cfg, rng)
+    new_params, _, lb = step(params, opt_state, imgs, tg,
+                             jax.random.key(1))
+    # conv1 frozen -> identical; fire2 trainable -> changed
+    np.testing.assert_array_equal(
+        np.asarray(new_params["conv1"]["kernel"]),
+        np.asarray(params["conv1"]["kernel"]))
+    assert not np.array_equal(
+        np.asarray(new_params["conv12"]["kernel"]),
+        np.asarray(params["conv12"]["kernel"]))
+    assert np.isfinite(float(lb.total))
+
+
+def test_loss_decreases_over_steps(cfg, rng):
+    det = get_model("squeezeDet", cfg)
+    params, mask, _ = det.init(jax.random.key(0))
+    det.set_trainable_mask(mask)
+    lr_cfg = cfg.replace(learning_rate=0.001)
+    tx = build_optimizer(lr_cfg, mask)
+    step = make_train_step(det, tx, donate=False)
+    opt_state = tx.init(params)
+    imgs = jnp.asarray(rng.randn(cfg.batch_size, cfg.image_height,
+                                 cfg.image_width, 3).astype(np.float32))
+    tg = _toy_targets(cfg, rng)
+    losses = []
+    for i in range(8):
+        params, opt_state, lb = step(params, opt_state, imgs, tg,
+                                     jax.random.key(100))
+        losses.append(float(lb.total))
+    assert losses[-1] < losses[0], losses
+
+
+def test_prefetch_loader(kitti_root, cfg):
+    db = Kitti("train", kitti_root, cfg, rng=np.random.RandomState(0))
+    loader = PrefetchLoader(db, num_threads=2, capacity=3).start()
+    try:
+        for _ in range(3):
+            images, tg = loader.get(timeout=30)
+            assert images.shape == (cfg.batch_size, 96, 96, 3)
+            assert tg.input_mask.sum() >= 1
+    finally:
+        loader.stop()
+
+
+def test_train_loop_end_to_end_with_resume(kitti_root, cfg, tmp_path):
+    det = get_model("squeezeDet", cfg)
+    db = Kitti("train", kitti_root, cfg, rng=np.random.RandomState(0))
+    train_dir = str(tmp_path / "train")
+    state = train(det, db, train_dir=train_dir, max_steps=2,
+                  checkpoint_step=1, summary_step=1000, log_every=1)
+    assert state.step == 2
+    assert os.path.exists(os.path.join(train_dir, "model_metrics.txt"))
+    assert os.path.isdir(os.path.join(train_dir, "model.ckpt-1"))
+    # resume continues from the saved step
+    state2 = train(det, db, train_dir=train_dir, max_steps=3,
+                   checkpoint_step=10, summary_step=1000, log_every=1)
+    assert state2.step == 3
+
+
+def test_checkpoint_roundtrip(cfg, tmp_path):
+    from squeezedet_tpu.checkpoint.manager import CheckpointManager
+    det = get_model("squeezeDet", cfg)
+    params, mask, _ = det.init(jax.random.key(0))
+    tx = build_optimizer(cfg, mask)
+    state = TrainState(params=params, opt_state=tx.init(params), step=5)
+    mgr = CheckpointManager(str(tmp_path / "ck"))
+    mgr.save(5, state.as_tree())
+    step, tree = mgr.restore_latest(state.as_tree())
+    assert step == 5
+    restored = TrainState.from_tree(tree)
+    np.testing.assert_array_equal(
+        np.asarray(restored.params["conv1"]["kernel"]),
+        np.asarray(params["conv1"]["kernel"]))

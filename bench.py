@@ -21,15 +21,17 @@ import sys
 import time
 
 
-def bench(batch_size: int = 64, iters: int = 30, warmup: int = 5,
+def bench(batch_size: int = 128, iters: int = 30, warmup: int = 5,
           compute_dtype: str = "bfloat16", net: str = "squeezeDet",
-          postprocess: bool = True) -> dict:
+          postprocess: bool = True, uint8_input: bool = True,
+          measure_latency: bool = True) -> dict:
     import jax
     import jax.numpy as jnp
     import numpy as np
 
     from squeezedet_tpu.config import config_for_net
     from squeezedet_tpu.models import get_model
+    from squeezedet_tpu.ops.postprocess import filter_prediction_device
 
     cfg = config_for_net(net).replace(
         load_pretrained_model=False, batch_size=batch_size,
@@ -38,15 +40,32 @@ def bench(batch_size: int = 64, iters: int = 30, warmup: int = 5,
     params, _, _ = det.init(jax.random.key(0))
 
     rng = np.random.RandomState(0)
-    images = jnp.asarray(
-        rng.randn(batch_size, cfg.image_height, cfg.image_width, 3)
-        .astype(np.float32))
 
-    if postprocess:
-        fn = jax.jit(lambda p, x: det.predict_postprocessed(p, x))
-    else:
-        fn = jax.jit(lambda p, x: det.predict(p, x))
+    def make_inputs(bs):
+        if uint8_input:
+            return jnp.asarray(rng.randint(
+                0, 255, (bs, cfg.image_height, cfg.image_width, 3),
+                dtype=np.uint8))
+        return jnp.asarray(
+            rng.randn(bs, cfg.image_height, cfg.image_width, 3)
+            .astype(np.float32))
 
+    def make_fn():
+        def fn(p, x):
+            if uint8_input:
+                interp = det.predict_raw(p, x)
+            else:
+                interp = det.predict(p, x)
+            if not postprocess:
+                return interp
+            return filter_prediction_device(
+                interp.det_boxes, interp.det_probs, interp.det_class,
+                top_n=cfg.top_n_detection, nms_thresh=cfg.nms_thresh,
+                num_classes=cfg.classes)
+        return jax.jit(fn)
+
+    fn = make_fn()
+    images = make_inputs(batch_size)
     out = fn(params, images)
     jax.block_until_ready(out)
     for _ in range(warmup):
@@ -58,8 +77,21 @@ def bench(batch_size: int = 64, iters: int = 30, warmup: int = 5,
         out = fn(params, images)
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
-
     images_per_sec = batch_size * iters / dt
+
+    p50_ms = None
+    if measure_latency:
+        img1 = make_inputs(1)
+        out = fn(params, img1)
+        jax.block_until_ready(out)
+        lat = []
+        for _ in range(30):
+            t1 = time.perf_counter()
+            jax.block_until_ready(fn(params, img1))
+            lat.append((time.perf_counter() - t1) * 1000)
+        import statistics
+        p50_ms = round(statistics.median(lat), 3)
+
     return {
         "metric": "images_per_sec_per_chip",
         "value": round(images_per_sec, 1),
@@ -71,23 +103,26 @@ def bench(batch_size: int = 64, iters: int = 30, warmup: int = 5,
             "resolution": [cfg.image_height, cfg.image_width],
             "compute_dtype": compute_dtype,
             "includes_postprocess": postprocess,
+            "uint8_input": uint8_input,
             "ms_per_batch": round(dt / iters * 1000, 2),
-            "p50_latency_ms_batch1": None,
+            "p50_latency_ms_batch1": p50_ms,
         },
     }
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch_size", type=int, default=64)
+    ap.add_argument("--batch_size", type=int, default=128)
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--net", default="squeezeDet")
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--no_postprocess", action="store_true")
+    ap.add_argument("--f32_input", action="store_true")
     args = ap.parse_args()
     result = bench(batch_size=args.batch_size, iters=args.iters,
                    net=args.net, compute_dtype=args.dtype,
-                   postprocess=not args.no_postprocess)
+                   postprocess=not args.no_postprocess,
+                   uint8_input=not args.f32_input)
     print(json.dumps(result))
 
 

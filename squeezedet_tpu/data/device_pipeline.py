@@ -1,0 +1,163 @@
+"""On-device batched preprocessing + anchor-target assignment.
+
+TPU-native replacement for the host-side hot loop the reference runs in
+4 python threads (imdb.read_batch, imdb.py:99-249 — cv2 decode/resize,
+mean subtraction, flip augmentation and the O(num_gt x 16848) greedy
+anchor matcher).  Everything here is jit-compatible with static shapes:
+ground truth is padded to ``max_gt`` boxes per image with a validity
+count.
+
+The greedy matcher reproduces the reference's *unclaimed anchor*
+semantics (imdb.py:197-235): per GT box in order, the highest-IoU
+unclaimed anchor with positive IoU, else the nearest unclaimed anchor by
+squared distance in (cx, cy, w, h) space; deltas are
+(dx, dy, log dw, log dh).  Equivalence to the numpy path is exact up to
+IoU ties (measure zero on real data) and is covered by
+tests/test_device_pipeline.py.
+
+Dense target construction needs no duplicate-dropping (train.py:173-190)
+because the claimed-mask already guarantees unique anchors per image.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from squeezedet_tpu.models.skeleton import Targets
+
+
+def normalize_images(images_u8, bgr_means, dtype=jnp.float32):
+    """uint8 BGR [B, H, W, 3] -> mean-subtracted compute-dtype tensor.
+
+    Device-side equivalent of ``im.astype(float32) - BGR_MEANS``
+    (imdb.py:143-144); fuses the dtype conversion into the first conv's
+    input so no f32 image ever hits HBM.
+    """
+    means = jnp.asarray(bgr_means, dtype).reshape(1, 1, 1, 3)
+    return images_u8.astype(dtype) - means
+
+
+def random_flip(images, gt_boxes, rng):
+    """Batched 50% horizontal flip (imdb.py:180-182).
+
+    images: [B, H, W, C]; gt_boxes: [B, G, 4] center-format.
+    Box update: cx' = (W - 1) - cx.
+    """
+    b = images.shape[0]
+    w = images.shape[2]
+    flip = jax.random.bernoulli(rng, 0.5, (b,))
+    flipped_im = jnp.where(flip[:, None, None, None],
+                           images[:, :, ::-1, :], images)
+    cx = jnp.where(flip[:, None], (w - 1.0) - gt_boxes[..., 0],
+                   gt_boxes[..., 0])
+    boxes = gt_boxes.at[..., 0].set(cx)
+    return flipped_im, boxes
+
+
+def _iou_anchors(anchors, box):
+    """IoU of all [A, 4] anchors vs one center-format box (util.py:32-54
+    math, jit-side)."""
+    lr = jnp.maximum(
+        jnp.minimum(anchors[:, 0] + 0.5 * anchors[:, 2],
+                    box[0] + 0.5 * box[2])
+        - jnp.maximum(anchors[:, 0] - 0.5 * anchors[:, 2],
+                      box[0] - 0.5 * box[2]), 0)
+    tb = jnp.maximum(
+        jnp.minimum(anchors[:, 1] + 0.5 * anchors[:, 3],
+                    box[1] + 0.5 * box[3])
+        - jnp.maximum(anchors[:, 1] - 0.5 * anchors[:, 3],
+                      box[1] - 0.5 * box[3]), 0)
+    inter = lr * tb
+    union = anchors[:, 2] * anchors[:, 3] + box[2] * box[3] - inter
+    return inter / union
+
+
+def _assign_one_image(anchors, gt_boxes, gt_labels, num_gt, num_classes):
+    """Greedy sequential matcher for one image via lax.scan over the
+    (padded) GT list, carrying the claimed-anchor mask."""
+    num_anchors = anchors.shape[0]
+
+    def step(claimed, inp):
+        box, label, valid = inp
+        ious = _iou_anchors(anchors, box)
+        masked_iou = jnp.where(claimed, -1.0, ious)
+        # Tie-break like the reference's reversed argsort (imdb.py:201):
+        # among equal IoUs the LARGEST anchor index wins.
+        best_iou_idx = (num_anchors - 1) - jnp.argmax(masked_iou[::-1])
+        use_iou = masked_iou[best_iou_idx] > 0
+
+        dist = jnp.sum(jnp.square(box - anchors), axis=1)
+        masked_dist = jnp.where(claimed, jnp.inf, dist)
+        best_dist_idx = jnp.argmin(masked_dist)
+
+        aidx = jnp.where(use_iou, best_iou_idx, best_dist_idx)
+        a = anchors[aidx]
+        delta = jnp.stack([
+            (box[0] - a[0]) / a[2],
+            (box[1] - a[1]) / a[3],
+            jnp.log(box[2] / a[2]),
+            jnp.log(box[3] / a[3]),
+        ])
+        claimed = jnp.where(valid, claimed.at[aidx].set(True), claimed)
+        return claimed, (aidx, delta, label, valid)
+
+    claimed0 = jnp.zeros((num_anchors,), bool)
+    valid = (jnp.arange(gt_boxes.shape[0]) < num_gt)
+    _, (aidx, deltas, labels, valids) = jax.lax.scan(
+        step, claimed0, (gt_boxes, gt_labels, valid))
+
+    # Scatter into dense per-anchor targets.  Padded slots scatter to a
+    # dummy row (num_anchors) that is sliced off.
+    safe_aidx = jnp.where(valids, aidx, num_anchors)
+    mask = jnp.zeros((num_anchors + 1,)).at[safe_aidx].add(1.0)[:-1]
+    mask = jnp.minimum(mask, 1.0)
+    dense_delta = jnp.zeros((num_anchors + 1, 4)).at[safe_aidx].set(
+        deltas)[:-1]
+    dense_box = jnp.zeros((num_anchors + 1, 4)).at[safe_aidx].set(
+        gt_boxes)[:-1]
+    onehot = jax.nn.one_hot(labels, num_classes)
+    dense_labels = jnp.zeros((num_anchors + 1, num_classes)).at[
+        safe_aidx].set(onehot)[:-1]
+    return mask, dense_delta, dense_box, dense_labels
+
+
+@partial(jax.jit, static_argnames=("num_classes",))
+def assign_anchors_device(anchors, gt_boxes, gt_labels, num_gt,
+                          num_classes: int) -> Targets:
+    """Batched greedy anchor assignment -> dense Targets.
+
+    Args:
+      anchors: [A, 4] anchor constants.
+      gt_boxes: [B, G, 4] padded center-format GT boxes (garbage in
+        slots >= num_gt[b] is ignored).
+      gt_labels: [B, G] int class ids.
+      num_gt: [B] valid-box counts.
+    """
+    mask, delta, box, labels = jax.vmap(
+        lambda b, l, n: _assign_one_image(anchors, b, l, n, num_classes)
+    )(gt_boxes, gt_labels, num_gt)
+    return Targets(input_mask=mask, box_delta_input=delta,
+                   box_input=box, labels=labels)
+
+
+def make_device_train_batch(anchors, images_u8, gt_boxes, gt_labels,
+                            num_gt, *, bgr_means, num_classes: int,
+                            rng, augment: bool = True,
+                            dtype=jnp.float32
+                            ) -> Tuple[jax.Array, Targets]:
+    """Full on-device training-batch pipeline: normalize (+ flip) +
+    anchor assignment.  Drift cropping stays host-side (it changes the
+    effective source resolution per image, which is host IO territory);
+    flip + matching are the per-batch hot path.
+    """
+    images = normalize_images(images_u8, bgr_means, dtype)
+    if augment:
+        images, gt_boxes = random_flip(images, gt_boxes, rng)
+    targets = assign_anchors_device(anchors, gt_boxes, gt_labels, num_gt,
+                                    num_classes)
+    return images, targets

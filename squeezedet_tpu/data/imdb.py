@@ -139,6 +139,7 @@ class Imdb:
 
         image_per_batch, label_per_batch = [], []
         bbox_per_batch, delta_per_batch, aidx_per_batch = [], [], []
+        debug_stats = AssignStats() if mc.debug_mode else None
 
         for idx in batch_idx:
             im = cv2.imread(self._image_path_at(idx)).astype(np.float32)
@@ -188,12 +189,83 @@ class Imdb:
             bbox_per_batch.append(gt_bbox)
 
             aidx_per_image, delta_per_image = assign_anchors(
-                gt_bbox, np.asarray(mc.anchor_box))
+                gt_bbox, np.asarray(mc.anchor_box), stats=debug_stats)
             delta_per_batch.append(delta_per_image)
             aidx_per_batch.append(aidx_per_image)
 
+        if debug_stats is not None:
+            debug_stats.dump()
         return (image_per_batch, label_per_batch, delta_per_batch,
                 aidx_per_batch, bbox_per_batch)
+
+    def read_batch_raw_targets(self, shuffle: bool = True,
+                               max_gt: int = 48):
+        """Like :meth:`read_batch` but defers anchor assignment.
+
+        Host does exactly the reference image path (imread, mean
+        subtraction, drift/flip augmentation, resize, GT scaling) and
+        returns padded GT tensors for the on-device matcher
+        (squeezedet_tpu.data.device_pipeline.assign_anchors_device):
+
+        Returns (images [B, H, W, 3] f32, gt_boxes [B, max_gt, 4] f32,
+        gt_labels [B, max_gt] i32, num_gt [B] i32).
+        """
+        import cv2
+        mc = self.mc
+        batch_idx = self._next_batch_idx(shuffle)
+
+        b = len(batch_idx)
+        images = np.zeros((b, mc.image_height, mc.image_width, 3),
+                          np.float32)
+        gt_out = np.zeros((b, max_gt, 4), np.float32)
+        labels_out = np.zeros((b, max_gt), np.int32)
+        num_gt = np.zeros((b,), np.int32)
+
+        for bi, idx in enumerate(batch_idx):
+            im = cv2.imread(self._image_path_at(idx)).astype(np.float32)
+            im -= mc.bgr_means_array()
+            orig_h, orig_w, _ = [float(v) for v in im.shape]
+            labels = [box[4] for box in self._rois[idx][:]]
+            gt_bbox = np.array(
+                [[box[0], box[1], box[2], box[3]]
+                 for box in self._rois[idx][:]])
+
+            if mc.data_augmentation:
+                if mc.drift_x > 0 or mc.drift_y > 0:
+                    max_drift_x = min(gt_bbox[:, 0] - gt_bbox[:, 2] / 2.0
+                                      + 1)
+                    max_drift_y = min(gt_bbox[:, 1] - gt_bbox[:, 3] / 2.0
+                                      + 1)
+                    dy = self._rng.randint(-mc.drift_y,
+                                           min(mc.drift_y + 1,
+                                               max_drift_y))
+                    dx = self._rng.randint(-mc.drift_x,
+                                           min(mc.drift_x + 1,
+                                               max_drift_x))
+                    gt_bbox[:, 0] -= dx
+                    gt_bbox[:, 1] -= dy
+                    orig_h -= dy
+                    orig_w -= dx
+                    orig_x, dist_x = max(dx, 0), max(-dx, 0)
+                    orig_y, dist_y = max(dy, 0), max(-dy, 0)
+                    distorted = np.zeros((int(orig_h), int(orig_w), 3),
+                                         np.float32)
+                    distorted[dist_y:, dist_x:, :] = im[orig_y:, orig_x:, :]
+                    im = distorted
+                if self._rng.randint(2) > 0.5:
+                    im = im[:, ::-1, :]
+                    gt_bbox[:, 0] = orig_w - 1 - gt_bbox[:, 0]
+
+            images[bi] = cv2.resize(im, (mc.image_width, mc.image_height))
+            gt_bbox[:, 0::2] *= mc.image_width / orig_w
+            gt_bbox[:, 1::2] *= mc.image_height / orig_h
+
+            n = min(len(gt_bbox), max_gt)
+            gt_out[bi, :n] = gt_bbox[:n]
+            labels_out[bi, :n] = np.asarray(labels[:n], np.int32)
+            num_gt[bi] = n
+
+        return images, gt_out, labels_out, num_gt
 
     def evaluate_detections(self, eval_dir, global_step, all_boxes):
         raise NotImplementedError
@@ -239,7 +311,39 @@ class Imdb:
         return out_ims
 
 
-def assign_anchors(gt_bbox: np.ndarray, anchor_box: np.ndarray
+class AssignStats:
+    """Anchor-assignment IoU statistics for DEBUG_MODE
+    (imdb.py:134-139, 203-215, 241-246)."""
+
+    def __init__(self):
+        self.avg_ious = 0.0
+        self.num_objects = 0
+        self.max_iou = 0.0
+        self.min_iou = 1.0
+        self.num_zero_iou_obj = 0
+
+    def record(self, iou_val: float):
+        self.num_objects += 1
+        if iou_val <= 0:
+            self.min_iou = min(iou_val, self.min_iou)
+            self.num_zero_iou_obj += 1
+        else:
+            self.max_iou = max(iou_val, self.max_iou)
+            self.min_iou = min(iou_val, self.min_iou)
+            self.avg_ious += iou_val
+
+    def dump(self):
+        print('max iou: {}'.format(self.max_iou))
+        print('min iou: {}'.format(self.min_iou))
+        print('avg iou: {}'.format(
+            self.avg_ious / max(self.num_objects, 1)))
+        print('number of objects: {}'.format(self.num_objects))
+        print('number of objects with 0 iou: {}'.format(
+            self.num_zero_iou_obj))
+
+
+def assign_anchors(gt_bbox: np.ndarray, anchor_box: np.ndarray,
+                   stats: Optional[AssignStats] = None
                    ) -> Tuple[List[int], List[List[float]]]:
     """Greedy anchor-target assignment (imdb.py:195-236).
 
@@ -257,10 +361,14 @@ def assign_anchors(gt_bbox: np.ndarray, anchor_box: np.ndarray
         aidx = num_anchors
         for ov_idx in np.argsort(overlaps)[::-1]:
             if overlaps[ov_idx] <= 0:
+                if stats is not None:
+                    stats.record(float(overlaps[ov_idx]))
                 break
             if ov_idx not in aidx_set:
                 aidx_set.add(ov_idx)
                 aidx = ov_idx
+                if stats is not None:
+                    stats.record(float(overlaps[ov_idx]))
                 break
         if aidx == num_anchors:
             dist = np.sum(np.square(gt_bbox[i] - anchor_box), axis=1)

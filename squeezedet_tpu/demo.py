@@ -123,6 +123,7 @@ def image_demo(args):
 def video_demo(args):
     import cv2
     import jax
+    import jax.numpy as jnp
 
     from squeezedet_tpu.config import config_for_net
     from squeezedet_tpu.models import get_model
@@ -149,12 +150,22 @@ def video_demo(args):
         frame = frame[500:-205, 239:-439, :]  # demo.py:91 crop
         im_input = frame.astype(np.float32) - cfg.bgr_means_array()
         t_reshape = time.time()
-        _detect_and_draw(det, predict, params, frame, im_input, cfg)
+        interp = predict(params, jnp.asarray(im_input[None]))
+        interp = jax.tree.map(np.asarray, interp)
         t_detect = time.time()
+        boxes, probs, classes = det.filter_prediction(
+            interp.det_boxes[0], interp.det_probs[0], interp.det_class[0])
+        keep = [i for i in range(len(probs))
+                if probs[i] > cfg.plot_prob_thresh]
+        t_filter = time.time()
+        from squeezedet_tpu.utils.util import draw_box
+        draw_box(frame, [boxes[i] for i in keep],
+                 ['%s: (%.2f)' % (cfg.class_names[classes[i]], probs[i])
+                  for i in keep], cdict=CLS2CLR)
         cv2.imwrite(out_im_name, frame)
         print('Total time: {:.4f}, detection time: {:.4f}, filter time: '
               '{:.4f}'.format(time.time() - t_start, t_detect - t_reshape,
-                              0.0))
+                              t_filter - t_detect))
     cap.release()
 
 

@@ -182,9 +182,8 @@ def main(argv=None):
 
     # structure template for orbax restore (params only are consumed,
     # mirroring Saver(model.model_params), eval.py:205)
-    params0, _, _ = det.init(jax.random.key(0))
+    params0, mask, _ = det.init(jax.random.key(0))
     from squeezedet_tpu.optim import build_optimizer
-    _, mask, _ = det.init(jax.random.key(0))
     tx = build_optimizer(cfg, mask)
     template = TrainState(params=params0, opt_state=tx.init(params0)
                           ).as_tree()

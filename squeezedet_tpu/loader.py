@@ -21,10 +21,13 @@ class PrefetchLoader:
     """Background producers of (images [B,H,W,3] f32, Targets) tuples."""
 
     def __init__(self, imdb, *, num_threads: Optional[int] = None,
-                 capacity: Optional[int] = None, shuffle: bool = True):
+                 capacity: Optional[int] = None, shuffle: bool = True,
+                 device_targets: bool = False, max_gt: int = 48):
         mc = imdb.mc
         self._imdb = imdb
         self._shuffle = shuffle
+        self._device_targets = device_targets
+        self._max_gt = max_gt
         self._num_anchors = mc.anchors
         self._num_classes = mc.classes
         self._queue: queue.Queue = queue.Queue(
@@ -45,10 +48,16 @@ class PrefetchLoader:
     def _worker(self):
         try:
             while not self._stop.is_set():
-                batch = self._imdb.read_batch(shuffle=self._shuffle)
-                item = batch_to_dense_targets(
-                    batch, num_anchors=self._num_anchors,
-                    num_classes=self._num_classes)
+                if self._device_targets:
+                    # raw padded gt; the matcher runs inside the jitted
+                    # train step (device_pipeline.assign_anchors_device)
+                    item = self._imdb.read_batch_raw_targets(
+                        shuffle=self._shuffle, max_gt=self._max_gt)
+                else:
+                    batch = self._imdb.read_batch(shuffle=self._shuffle)
+                    item = batch_to_dense_targets(
+                        batch, num_anchors=self._num_anchors,
+                        num_classes=self._num_classes)
                 while not self._stop.is_set():
                     try:
                         self._queue.put(item, timeout=0.5)

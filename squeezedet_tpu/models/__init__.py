@@ -128,6 +128,19 @@ class Detector:
             classes=cfg.classes, top_n_detection=cfg.top_n_detection,
             prob_thresh=cfg.prob_thresh, nms_thresh=cfg.nms_thresh)
 
+    def predict_raw(self, params, images_u8):
+        """Serving path: uint8 BGR images -> Interpretation.
+
+        Fuses the mean-subtraction (imdb.py:143-144) into the device
+        program so only the 1-byte image ever crosses PCIe/HBM.
+        """
+        from squeezedet_tpu.data.device_pipeline import normalize_images
+        dtype = jnp.dtype(self.cfg.compute_dtype)
+        images = normalize_images(images_u8, self.cfg.bgr_means, dtype)
+        return self.interpret(
+            self.backbone.apply(params, images, self.cfg,
+                                train=False).astype(jnp.float32))
+
     def predict_postprocessed(self, params, images):
         """Fully on-device inference: forward + decode + top-k + NMS.
 

@@ -50,6 +50,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help='Override input height (0 = model default).')
     p.add_argument('--batch_size', type=int, default=0,
                    help='Override batch size (0 = model default).')
+    p.add_argument('--device_assign', action='store_true',
+                   help='Run anchor-target assignment on device inside '
+                        'the train step instead of on host threads.')
+    p.add_argument('--profile_steps', default='',
+                   help="Capture a jax profiler trace, e.g. '20:25' "
+                        "traces steps 20..24 into <train_dir>/profile.")
     return p
 
 
@@ -93,11 +99,19 @@ def main(argv=None):
     if len(jax.devices()) > 1:
         mesh = make_mesh(args.num_devices or None)
 
+    step_tracer = None
+    if args.profile_steps:
+        from squeezedet_tpu.utils.profiling import StepTracer
+        start, stop = (int(x) for x in args.profile_steps.split(':'))
+        step_tracer = StepTracer(os.path.join(args.train_dir, 'profile'),
+                                 start, stop)
+
     train(det, imdb, train_dir=args.train_dir, max_steps=args.max_steps,
           summary_step=args.summary_step,
           checkpoint_step=args.checkpoint_step, seed=args.seed, mesh=mesh,
           resume=not args.no_resume, summary_writer=writer,
-          viz_step=args.summary_step)
+          viz_step=args.summary_step, step_tracer=step_tracer,
+          device_assign=args.device_assign)
     writer.close()
 
 

@@ -76,6 +76,45 @@ def make_train_step(det: Detector, tx, mesh=None, donate: bool = True):
     return jax.jit(step_fn, **kwargs)
 
 
+def make_train_step_device(det: Detector, tx, mesh=None,
+                           donate: bool = True):
+    """Train step with the anchor matcher fused into the device program.
+
+    Signature: (params, opt_state, images, gt_boxes, gt_labels, num_gt,
+    rng) -> (params, opt_state, LossBreakdown).  Removes the reference's
+    O(num_gt x ANCHORS) per-image numpy loop (imdb.py:197-235) from the
+    host hot path.
+    """
+    from squeezedet_tpu.data.device_pipeline import assign_anchors_device
+
+    anchors = jnp.asarray(det.cfg.anchor_box, jnp.float32)
+    num_classes = det.cfg.classes
+
+    def step_fn(params, opt_state, images, gt_boxes, gt_labels, num_gt,
+                rng):
+        targets = assign_anchors_device(anchors, gt_boxes, gt_labels,
+                                        num_gt, num_classes)
+
+        def loss_fn(p):
+            lb = det.loss(p, images, targets, rng=rng, train=True)
+            return lb.total, lb
+
+        grads, lb = jax.grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = jax.tree.map(lambda p, u: p + u, params, updates)
+        return params, opt_state, lb
+
+    kwargs = {}
+    if donate:
+        kwargs["donate_argnums"] = (0, 1)
+    if mesh is not None:
+        rep = replicated_sharding(mesh)
+        data = batch_sharding(mesh)
+        kwargs["in_shardings"] = (rep, rep, data, data, data, data, rep)
+        kwargs["out_shardings"] = (rep, rep, rep)
+    return jax.jit(step_fn, **kwargs)
+
+
 def viz_prediction_images(det: Detector, params, images_np, targets,
                           max_images: int = 8):
     """Draw GT (green) + filtered predictions (red/class colors) on the
@@ -121,7 +160,8 @@ def train(det: Detector, imdb, *, train_dir: str, max_steps: int,
           seed: int = 0, mesh=None, resume: bool = True,
           summary_writer=None, log_every: int = 10,
           pretrained: Optional[dict] = None,
-          viz_step: int = 0) -> TrainState:
+          viz_step: int = 0, step_tracer=None,
+          device_assign: bool = False, max_gt: int = 48) -> TrainState:
     """Full training loop (reference train.py:102-335)."""
     cfg = det.cfg
     os.makedirs(train_dir, exist_ok=True)
@@ -149,9 +189,13 @@ def train(det: Detector, imdb, *, train_dir: str, max_steps: int,
 
     if mesh is None and len(jax.devices()) > 1:
         mesh = make_mesh()
-    train_step = make_train_step(det, tx, mesh=mesh)
+    if device_assign:
+        train_step = make_train_step_device(det, tx, mesh=mesh)
+    else:
+        train_step = make_train_step(det, tx, mesh=mesh)
 
-    loader = PrefetchLoader(imdb).start()
+    loader = PrefetchLoader(imdb, device_targets=device_assign,
+                            max_gt=max_gt).start()
     try:
         params, opt_state = state.params, state.opt_state
         if mesh is not None:
@@ -159,15 +203,27 @@ def train(det: Detector, imdb, *, train_dir: str, max_steps: int,
             params = jax.device_put(params, rep)
             opt_state = jax.device_put(opt_state, rep)
         for step in range(state.step, max_steps):
+            if step_tracer is not None:
+                step_tracer.on_step(step)
             start_time = time.time()
-            images, targets = loader.get()
-            images = jnp.asarray(images)
-            if mesh is not None:
-                images = shard_batch(mesh, images)
-                targets = shard_batch(mesh, targets)
             rng, step_rng = jax.random.split(rng)
-            params, opt_state, lb = train_step(
-                params, opt_state, images, targets, step_rng)
+            if device_assign:
+                images, gt_boxes, gt_labels, num_gt = loader.get()
+                batch = (jnp.asarray(images), jnp.asarray(gt_boxes),
+                         jnp.asarray(gt_labels), jnp.asarray(num_gt))
+                if mesh is not None:
+                    batch = shard_batch(mesh, batch)
+                params, opt_state, lb = train_step(
+                    params, opt_state, *batch, step_rng)
+                targets = None
+            else:
+                images, targets = loader.get()
+                images = jnp.asarray(images)
+                if mesh is not None:
+                    images = shard_batch(mesh, images)
+                    targets = shard_batch(mesh, targets)
+                params, opt_state, lb = train_step(
+                    params, opt_state, images, targets, step_rng)
 
             do_log = step % log_every == 0
             do_summary = summary_writer is not None and \
@@ -191,7 +247,8 @@ def train(det: Detector, imdb, *, train_dir: str, max_steps: int,
                 summary_writer.scalar("mean_iou", float(lb.mean_iou), step)
                 summary_writer.scalar("learning_rate",
                                       learning_rate_at(cfg, step), step)
-                if viz_step and step % viz_step == 0:
+                if viz_step and step % viz_step == 0 and \
+                        targets is not None:
                     ims = viz_prediction_images(
                         det, params, np.asarray(images), targets)
                     summary_writer.image("sample_detection_results", ims,
@@ -213,4 +270,6 @@ def train(det: Detector, imdb, *, train_dir: str, max_steps: int,
                            step=max_steps)
         return state
     finally:
+        if step_tracer is not None:
+            step_tracer.close()
         loader.stop()

@@ -1,0 +1,77 @@
+"""Weight-importer tests: TF1 checkpoint roundtrip and pkl loading."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from squeezedet_tpu.checkpoint.importer import (load_pretrained,
+                                                load_tf1_checkpoint)
+from squeezedet_tpu.config import tiny_test_config
+from squeezedet_tpu.models import get_model
+
+tf = pytest.importorskip("tensorflow")
+
+
+def _make_tf1_ckpt(path):
+    """Write a TF1-style Saver checkpoint with the reference's variable
+    naming (<layer>/kernels HWIO + <layer>/biases, nn_skeleton.py:425-430)."""
+    rng = np.random.RandomState(0)
+    kernel = rng.randn(3, 3, 3, 64).astype(np.float32)  # HWIO
+    bias = rng.randn(64).astype(np.float32)
+    sq_k = rng.randn(1, 1, 64, 16).astype(np.float32)
+    sq_b = rng.randn(16).astype(np.float32)
+    tf.compat.v1.reset_default_graph()
+    with tf.compat.v1.Session() as sess:
+        tf.compat.v1.get_variable("conv1/kernels", initializer=kernel)
+        tf.compat.v1.get_variable("conv1/biases", initializer=bias)
+        tf.compat.v1.get_variable("fire2/squeeze1x1/kernels",
+                                  initializer=sq_k)
+        tf.compat.v1.get_variable("fire2/squeeze1x1/biases",
+                                  initializer=sq_b)
+        sess.run(tf.compat.v1.global_variables_initializer())
+        saver = tf.compat.v1.train.Saver()
+        saver.save(sess, path)
+    return kernel, bias, sq_k, sq_b
+
+
+def test_tf1_checkpoint_roundtrip(tmp_path):
+    ckpt = str(tmp_path / "model.ckpt-87000")
+    kernel, bias, sq_k, sq_b = _make_tf1_ckpt(ckpt)
+    weights = load_tf1_checkpoint(ckpt)
+    # pkl layout is OIHW (nn_skeleton.py:406: reader transposes back)
+    np.testing.assert_allclose(weights["conv1"][0],
+                               np.transpose(kernel, (3, 2, 0, 1)))
+    np.testing.assert_allclose(weights["conv1"][1], bias)
+    np.testing.assert_allclose(weights["fire2/squeeze1x1"][0],
+                               np.transpose(sq_k, (3, 2, 0, 1)))
+
+    # feed into model init: params must equal original HWIO values
+    cfg = tiny_test_config()
+    det = get_model("squeezeDet", cfg)
+    params, _, _ = det.init(jax.random.key(0), pretrained=weights)
+    np.testing.assert_allclose(np.asarray(params["conv1"]["kernel"]),
+                               kernel, rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(params["fire2"]["squeeze1x1"]["kernel"]), sq_k,
+        rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(params["fire2"]["squeeze1x1"]["bias"]), sq_b, rtol=1e-6)
+
+
+def test_load_pretrained_dispatches_by_format(tmp_path):
+    ckpt = str(tmp_path / "model.ckpt-5")
+    _make_tf1_ckpt(ckpt)
+    w = load_pretrained(ckpt)
+    assert "conv1" in w
+
+    import joblib
+    pkl = str(tmp_path / "weights.pkl")
+    joblib.dump({"conv1": [np.zeros((64, 3, 3, 3)), np.zeros(64)]}, pkl)
+    w2 = load_pretrained(pkl)
+    assert w2["conv1"][0].shape == (64, 3, 3, 3)
+
+    with pytest.raises(ValueError):
+        load_pretrained("")

@@ -30,6 +30,18 @@ def make_mesh(num_devices: Optional[int] = None,
     return Mesh(np.array(devices), (axis_name,))
 
 
+def auto_mesh(batch_size: int, axis_name: str = "data") -> Optional[Mesh]:
+    """Data-parallel mesh over the largest device count that divides the
+    batch; None when that is a single device."""
+    devices = jax.devices()
+    n = len(devices)
+    while n > 1 and batch_size % n != 0:
+        n -= 1
+    if n <= 1:
+        return None
+    return Mesh(np.array(devices[:n]), (axis_name,))
+
+
 def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

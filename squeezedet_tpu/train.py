@@ -96,8 +96,11 @@ def main(argv=None):
 
     import jax
     mesh = None
-    if len(jax.devices()) > 1:
-        mesh = make_mesh(args.num_devices or None)
+    if args.num_devices:
+        mesh = make_mesh(args.num_devices)
+    elif len(jax.devices()) > 1:
+        from squeezedet_tpu.parallel.mesh import auto_mesh
+        mesh = auto_mesh(cfg.batch_size)
 
     step_tracer = None
     if args.profile_steps:

@@ -188,7 +188,8 @@ def train(det: Detector, imdb, *, train_dir: str, max_steps: int,
             print("Resumed from step {}".format(state.step))
 
     if mesh is None and len(jax.devices()) > 1:
-        mesh = make_mesh()
+        from squeezedet_tpu.parallel.mesh import auto_mesh
+        mesh = auto_mesh(cfg.batch_size)
     if device_assign:
         train_step = make_train_step_device(det, tx, mesh=mesh)
     else:

@@ -45,11 +45,18 @@ def init(rng, cfg, pretrained=None):
 
 
 def apply(params, images, cfg, *, train: bool = False, rng=None):
+    """Concat-free fire chain (see squeezedet.apply); pools are VALID
+    here but pooling still commutes with the virtual concat."""
     x = L.conv2d(params["conv1"], images, 2, padding="VALID")
     x = L.max_pool(x, 3, 2, "VALID")
+    pair = x
     for name, _, _, _ in _FIRES:
-        x = L.fire(params[name], x)
-        if name in _POOL_AFTER:
-            x = L.max_pool(x, 3, 2, "VALID")
-    x = L.dropout(x, cfg.keep_prob, rng, train)
-    return L.conv2d(params["conv12"], x, 1, relu=False)
+        pool = (3, 2) if name in _POOL_AFTER else None
+        pair = L.fire_pair(params[name], pair, pool=pool,
+                           padding="VALID")
+    if train and cfg.keep_prob < 1.0:
+        r1, r2 = jax.random.split(rng)
+        pair = (L.dropout(pair[0], cfg.keep_prob, r1, train),
+                L.dropout(pair[1], cfg.keep_prob, r2, train))
+    return L.conv2d_pair(params["conv12"], pair[0], pair[1], 1,
+                         relu=False)

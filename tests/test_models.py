@@ -132,3 +132,32 @@ def test_squeezedet_param_count_full_size():
     assert sizes["conv1"] == (1 + 9 * 3) * 64
     assert sizes["conv12"] == (1 + 9 * 768) * 72
     assert tracer.total_params() == 2082120  # fire2..11 + conv1 + conv12
+
+
+@pytest.mark.parametrize("net", ["squeezeDet", "squeezeDet+"])
+def test_concat_free_fire_matches_naive(net):
+    """The production concat-free fire chain must equal the naive
+    concat formulation bit-for-bit up to float associativity."""
+    from squeezedet_tpu.models import layers as L
+    from squeezedet_tpu.models import squeezedet, squeezedet_plus
+    mod = squeezedet if net == "squeezeDet" else squeezedet_plus
+    pad = "SAME" if net == "squeezeDet" else "VALID"
+    cfg = tiny_test_config(net=net)
+    det = get_model(net, cfg)
+    params, _, _ = det.init(jax.random.key(0))
+    x = jax.random.normal(jax.random.key(3),
+                          (2, cfg.image_height, cfg.image_width, 3))
+
+    def naive(params, x):
+        x = L.conv2d(params["conv1"], x, 2, padding=pad)
+        x = L.max_pool(x, 3, 2, pad)
+        for name, _, _, _ in mod._FIRES:
+            x = L.fire(params[name], x)
+            if name in mod._POOL_AFTER:
+                x = L.max_pool(x, 3, 2, pad)
+        return L.conv2d(params["conv12"], x, 1, relu=False)
+
+    got = mod.apply(params, x, cfg, train=False)
+    want = naive(params, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5)

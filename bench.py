@@ -110,8 +110,63 @@ def bench(batch_size: int = 128, iters: int = 30, warmup: int = 5,
     }
 
 
+def bench_train(batch_size: int = 64, iters: int = 10,
+                compute_dtype: str = "bfloat16",
+                net: str = "squeezeDet") -> dict:
+    """Device training-step throughput (fwd+bwd+momentum update with the
+    in-graph anchor matcher)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from squeezedet_tpu.config import config_for_net
+    from squeezedet_tpu.models import get_model
+    from squeezedet_tpu.optim import build_optimizer
+    from squeezedet_tpu.trainer import make_train_step_device
+
+    cfg = config_for_net(net).replace(
+        load_pretrained_model=False, batch_size=batch_size,
+        compute_dtype=compute_dtype)
+    det = get_model(net, cfg)
+    params, mask, _ = det.init(jax.random.key(0))
+    det.set_trainable_mask(mask)
+    tx = build_optimizer(cfg, mask)
+    step = make_train_step_device(det, tx, donate=False)
+
+    rng = np.random.RandomState(0)
+    g = 32
+    imgs = jnp.asarray(
+        rng.randn(batch_size, cfg.image_height, cfg.image_width, 3)
+        .astype(np.float32))
+    gt = np.zeros((batch_size, g, 4), np.float32)
+    gt[:, :3] = [[300, 200, 60, 40], [600, 100, 80, 60],
+                 [900, 300, 50, 70]]
+    args = (params, tx.init(params), imgs, jnp.asarray(gt),
+            jnp.asarray(np.zeros((batch_size, g), np.int32)),
+            jnp.asarray(np.full((batch_size,), 3, np.int32)),
+            jax.random.key(1))
+    out = step(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = step(*args)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / iters
+    return {
+        "metric": "train_images_per_sec_per_chip",
+        "value": round(batch_size / dt, 1),
+        "unit": "img/s",
+        "vs_baseline": None,
+        "detail": {"net": net, "batch_size": batch_size,
+                   "compute_dtype": compute_dtype,
+                   "ms_per_step": round(dt * 1000, 2)},
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", default="inference",
+                    choices=["inference", "train"])
     ap.add_argument("--batch_size", type=int, default=128)
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--net", default="squeezeDet")
@@ -119,10 +174,14 @@ def main():
     ap.add_argument("--no_postprocess", action="store_true")
     ap.add_argument("--f32_input", action="store_true")
     args = ap.parse_args()
-    result = bench(batch_size=args.batch_size, iters=args.iters,
-                   net=args.net, compute_dtype=args.dtype,
-                   postprocess=not args.no_postprocess,
-                   uint8_input=not args.f32_input)
+    if args.mode == "train":
+        result = bench_train(batch_size=min(args.batch_size, 64),
+                             net=args.net, compute_dtype=args.dtype)
+    else:
+        result = bench(batch_size=args.batch_size, iters=args.iters,
+                       net=args.net, compute_dtype=args.dtype,
+                       postprocess=not args.no_postprocess,
+                       uint8_input=not args.f32_input)
     print(json.dumps(result))
 
 

@@ -106,6 +106,14 @@ class ModelConfig:
     # TPU-specific knobs (no reference equivalent) --------------------------------
     # Compute dtype for conv/matmul paths; params stay float32.
     compute_dtype: str = "float32"
+    # Weight init when no pretrained model is loaded.  The reference's
+    # truncated-normal stddevs (0.01 fire / 0.001 conv) are fallbacks that
+    # only work on top of pretrained weights — from scratch they underflow
+    # activations to zero through the deep fire chain (dead network).
+    # "xavier" fixes signal propagation; "reference" reproduces the
+    # original fallback initializers exactly.  The ConvDet head keeps its
+    # tiny 1e-4 stddev in both modes (stable detection start).
+    scratch_init: str = "xavier"
     # Name of the model family this config was built for ("squeezeDet", ...).
     net: str = ""
 

@@ -132,10 +132,18 @@ def custom_kitti_config(net: str, image_width: int, image_height: int,
     """
     shapes = (RESNET50_ANCHOR_SHAPES if net == "resnet50"
               else SQUEEZEDET_ANCHOR_SHAPES)
-    return _kitti_config(net, image_width, image_height,
-                         grid_for_net(net, image_width),
-                         grid_for_net(net, image_height),
-                         shapes, batch_size=batch_size)
+    # scale the canonical shape table to the requested resolution so
+    # anchors stay proportionate (the canonical tables assume ~1248x384)
+    shapes = shapes * np.array([[image_width / 1248.0,
+                                 image_height / 384.0]])
+    cfg = _kitti_config(net, image_width, image_height,
+                        grid_for_net(net, image_width),
+                        grid_for_net(net, image_height),
+                        shapes, batch_size=batch_size)
+    # scale the drift augmentation range too (canonical +-150/+-100)
+    return cfg.replace(
+        drift_x=max(1, round(150 * image_width / 1248.0)),
+        drift_y=max(1, round(100 * image_height / 384.0)))
 
 
 def tiny_test_config(

@@ -196,6 +196,7 @@ def init_conv_bn(key, tracer: NetTracer, name: str, filters: int, size: int,
                  stride: int, *, padding: str = "SAME", freeze: bool = False,
                  relu: bool = True, conv_with_bias: bool = False,
                  stddev: float = 0.001,
+                 xavier: bool = False,
                  bn_name: Optional[str] = None,
                  scale_name: Optional[str] = None,
                  pretrained: Optional[dict] = None) -> Tuple[Params, Params]:
@@ -213,7 +214,8 @@ def init_conv_bn(key, tracer: NetTracer, name: str, filters: int, size: int,
         beta = jnp.asarray(np.asarray(pretrained[scale_name][1]), jnp.float32)
     else:
         kkey, _ = jax.random.split(key)
-        kernel = truncated_normal(kkey, kshape, stddev)
+        kernel = (xavier_uniform_conv(kkey, kshape) if xavier
+                  else truncated_normal(kkey, kshape, stddev))
         bias = jnp.zeros((filters,), jnp.float32) if conv_with_bias else None
         mean = jnp.zeros((filters,), jnp.float32)
         var = jnp.ones((filters,), jnp.float32)
@@ -277,18 +279,22 @@ def dropout(x, keep_prob: float, rng, train: bool):
 
 def init_fire(key, tracer: NetTracer, name: str, s1x1: int, e1x1: int,
               e3x3: int, *, freeze: bool = False, stddev: float = 0.01,
+              xavier: bool = False,
               pretrained: Optional[dict] = None) -> Tuple[Params, Params]:
     """Fire module: squeeze1x1 -> concat(expand1x1, expand3x3)
     (squeezeDet.py:81-106)."""
     k1, k2, k3 = jax.random.split(key, 3)
     sq, sq_m = init_conv(k1, tracer, name + "/squeeze1x1", s1x1, 1, 1,
-                         stddev=stddev, freeze=freeze, pretrained=pretrained)
+                         stddev=stddev, freeze=freeze, xavier=xavier,
+                         pretrained=pretrained)
     snap = tracer.snapshot()
     e1, e1_m = init_conv(k2, tracer, name + "/expand1x1", e1x1, 1, 1,
-                         stddev=stddev, freeze=freeze, pretrained=pretrained)
+                         stddev=stddev, freeze=freeze, xavier=xavier,
+                         pretrained=pretrained)
     tracer.restore(snap)
     e3, e3_m = init_conv(k3, tracer, name + "/expand3x3", e3x3, 3, 1,
-                         stddev=stddev, freeze=freeze, pretrained=pretrained)
+                         stddev=stddev, freeze=freeze, xavier=xavier,
+                         pretrained=pretrained)
     # after concat, channels = e1x1 + e3x3
     tracer.channels = e1x1 + e3x3
     params = {"squeeze1x1": sq, "expand1x1": e1, "expand3x3": e3}

@@ -29,7 +29,8 @@ def _bn_names(tag: str):
 
 
 def _init_branch(key, tracer, stage: str, block: str, in_f: int, out_f: int,
-                 down_sample: bool, freeze: bool, pretrained):
+                 down_sample: bool, freeze: bool, pretrained,
+                 xavier: bool = False):
     """Bottleneck branch2: 1x1 -> 3x3 -> 1x1 (resnet50_convDet.py:134-169)."""
     k1, k2, k3 = jax.random.split(key, 3)
     tag = stage + block
@@ -43,7 +44,8 @@ def _init_branch(key, tracer, stage: str, block: str, in_f: int, out_f: int,
         bn_name, scale_name = _bn_names("{}_{}".format(tag, sub))
         p[sub], m[sub] = L.init_conv_bn(
             kk, tracer, conv_name, f, size, st, freeze=freeze, relu=relu,
-            bn_name=bn_name, scale_name=scale_name, pretrained=pretrained)
+            xavier=xavier, bn_name=bn_name, scale_name=scale_name,
+            pretrained=pretrained)
     return p, m
 
 
@@ -60,11 +62,12 @@ def init(rng, cfg, pretrained=None):
     keys = jax.random.split(rng, n_blocks + 5)
     ki = iter(range(len(keys)))
     params, mask = {}, {}
+    xavier = pretrained is None and cfg.scratch_init == "xavier"
 
     params["conv1"], mask["conv1"] = L.init_conv_bn(
         keys[next(ki)], tracer, "conv1", 64, 7, 2, freeze=True,
-        conv_with_bias=True, bn_name="bn_conv1", scale_name="scale_conv1",
-        pretrained=pretrained)
+        conv_with_bias=True, xavier=xavier, bn_name="bn_conv1",
+        scale_name="scale_conv1", pretrained=pretrained)
     tracer.pool("pool1", 3, 2, "VALID")
 
     for stage, blocks, in_f, out_f, frozen in _STAGES:
@@ -79,14 +82,14 @@ def init(rng, cfg, pretrained=None):
                 entry["branch1"], entry_m["branch1"] = L.init_conv_bn(
                     keys[next(ki)], tracer, "res{}_branch1".format(tag),
                     out_f, 1, 2 if down else 1, freeze=frozen, relu=False,
-                    bn_name=bn_name, scale_name=scale_name,
+                    xavier=xavier, bn_name=bn_name, scale_name=scale_name,
                     pretrained=pretrained)
                 tracer.restore(snap)
             else:
                 down = False
             entry["branch2"], entry_m["branch2"] = _init_branch(
                 keys[next(ki)], tracer, stage, block, in_f, out_f, down,
-                frozen, pretrained)
+                frozen, pretrained, xavier=xavier)
             params[name], mask[name] = entry, entry_m
 
     num_output = cfg.anchor_per_grid * (cfg.classes + 1 + 4)

@@ -34,6 +34,7 @@ class Interpretation(NamedTuple):
     det_boxes: jax.Array         # [B, A, 4] decoded (cx, cy, w, h), clipped
     det_probs: jax.Array         # [B, A] max_c class_prob*conf
     det_class: jax.Array         # [B, A] argmax class index (int32)
+    pred_class_logits: jax.Array = None  # [B, A, C] pre-softmax (loss use)
 
 
 def interpret(preds: jax.Array, anchors: jax.Array, *, num_classes: int,
@@ -54,8 +55,9 @@ def interpret(preds: jax.Array, anchors: jax.Array, *, num_classes: int,
 
     # [class | conf | delta] channel split with anchor-major reshape
     # semantics (nn_skeleton.py:150-177).
-    pred_class_probs = jax.nn.softmax(
-        preds[..., :num_class_probs].reshape(b, num_anchors, c), axis=-1)
+    pred_class_logits = preds[..., :num_class_probs].reshape(
+        b, num_anchors, c)
+    pred_class_probs = jax.nn.softmax(pred_class_logits, axis=-1)
     pred_conf = jax.nn.sigmoid(
         preds[..., num_class_probs:num_conf].reshape(b, num_anchors))
     pred_box_delta = preds[..., num_conf:].reshape(b, num_anchors, 4)
@@ -94,7 +96,8 @@ def interpret(preds: jax.Array, anchors: jax.Array, *, num_classes: int,
     det_class = jnp.argmax(probs, axis=2).astype(jnp.int32)
 
     return Interpretation(pred_class_probs, pred_conf, pred_box_delta,
-                          det_boxes, det_probs, det_class)
+                          det_boxes, det_probs, det_class,
+                          pred_class_logits)
 
 
 def tensor_iou(box1, box2, mask, epsilon: float):
@@ -154,12 +157,35 @@ def detection_loss(interp: Interpretation, targets: Targets, *,
     mask3 = mask[..., None]
     num_objects = jnp.sum(mask)
 
-    # Class cross-entropy, normalized by num_objects (nn_skeleton.py:289-300).
-    p = interp.pred_class_probs
-    class_loss = jnp.sum(
-        (targets.labels * (-jnp.log(p + epsilon))
-         + (1 - targets.labels) * (-jnp.log(1 - p + epsilon)))
-        * mask3 * loss_coef_class) / num_objects
+    # Class cross-entropy, normalized by num_objects
+    # (nn_skeleton.py:289-300): q*(-log p) + (1-q)*(-log(1-p)) over the
+    # softmax probs.  Computed in LOG space from the logits: the
+    # reference's literal formula has catastrophically cancelling
+    # gradients once softmax saturates (1/(1-p+eps) ~ 1e16 intermediates
+    # that only cancel analytically) — it survives there only because
+    # training always starts from pretrained weights.  Values match the
+    # reference's eps-floored formula; gradients are bounded.
+    if interp.pred_class_logits is not None:
+        logits = interp.pred_class_logits
+        m = jax.lax.stop_gradient(jnp.max(logits, axis=-1, keepdims=True))
+        shifted = logits - m
+        e = jnp.exp(shifted)
+        s = jnp.sum(e, axis=-1, keepdims=True)
+        log_floor = jnp.log(epsilon)
+        log_p = jnp.maximum(shifted - jnp.log(s), log_floor)
+        # log(1 - p_i) = log(sum_{j!=i} e_j) - log(sum_j e_j)
+        log_1mp = jnp.maximum(
+            jnp.log(jnp.maximum(s - e, epsilon)) - jnp.log(s), log_floor)
+        class_loss = jnp.sum(
+            (targets.labels * (-log_p)
+             + (1 - targets.labels) * (-log_1mp))
+            * mask3 * loss_coef_class) / num_objects
+    else:  # probs-only caller (reference literal formula)
+        p = interp.pred_class_probs
+        class_loss = jnp.sum(
+            (targets.labels * (-jnp.log(p + epsilon))
+             + (1 - targets.labels) * (-jnp.log(1 - p + epsilon)))
+            * mask3 * loss_coef_class) / num_objects
 
     # Confidence regression toward (stopped-gradient) IoU
     # (nn_skeleton.py:302-314).

@@ -30,15 +30,19 @@ def init(rng, cfg, pretrained=None):
     tracer = L.NetTracer.for_config(cfg)
     keys = jax.random.split(rng, len(_FIRES) + 2)
     params, mask = {}, {}
+    # xavier from scratch so activations survive the deep fire chain
+    # (reference stddevs assume pretrained weights; see ModelConfig)
+    xavier = pretrained is None and cfg.scratch_init == "xavier"
 
     params["conv1"], mask["conv1"] = L.init_conv(
         keys[0], tracer, "conv1", 64, 3, 2, padding="SAME", freeze=True,
-        pretrained=pretrained)
+        xavier=xavier, pretrained=pretrained)
     tracer.pool("pool1", 3, 2, "SAME")
 
     for i, (name, s, e1, e3) in enumerate(_FIRES):
         params[name], mask[name] = L.init_fire(
-            keys[i + 1], tracer, name, s, e1, e3, pretrained=pretrained)
+            keys[i + 1], tracer, name, s, e1, e3, xavier=xavier,
+            pretrained=pretrained)
         if name in _POOL_AFTER:
             tracer.pool(_POOL_AFTER[name], 3, 2, "SAME")
 

@@ -27,10 +27,11 @@ def init(rng, cfg, pretrained=None):
     tracer = L.NetTracer.for_config(cfg)
     keys = jax.random.split(rng, len(_CONVS) + 1)
     params, mask = {}, {}
+    xavier = pretrained is None and cfg.scratch_init == "xavier"
     for i, (name, filters, frozen) in enumerate(_CONVS):
         params[name], mask[name] = L.init_conv(
             keys[i], tracer, name, filters, 3, 1, freeze=frozen,
-            pretrained=pretrained)
+            xavier=xavier, pretrained=pretrained)
         if name in _POOL_AFTER:
             tracer.pool(_POOL_AFTER[name], 2, 2, "SAME")
 

@@ -50,6 +50,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help='Override input height (0 = model default).')
     p.add_argument('--batch_size', type=int, default=0,
                    help='Override batch size (0 = model default).')
+    p.add_argument('--learning_rate', type=float, default=0.0,
+                   help='Override initial learning rate (0 = config).')
+    p.add_argument('--no_augmentation', action='store_true',
+                   help='Disable drift/flip data augmentation '
+                        '(mc.DATA_AUGMENTATION).')
     p.add_argument('--device_assign', action='store_true',
                    help='Run anchor-target assignment on device inside '
                         'the train step instead of on host threads.')
@@ -84,6 +89,10 @@ def main(argv=None):
         is_training=True,
         pretrained_model_path=args.pretrained_model_path,
         load_pretrained_model=bool(args.pretrained_model_path))
+    if args.no_augmentation:
+        cfg = cfg.replace(data_augmentation=False)
+    if args.learning_rate:
+        cfg = cfg.replace(learning_rate=args.learning_rate)
     if args.compute_dtype:
         cfg = cfg.replace(compute_dtype=args.compute_dtype)
 

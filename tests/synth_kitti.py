@@ -27,6 +27,11 @@ def make_synth_kitti(root: str, num_images: int = 6, width: int = 320,
     for d in (img_dir, lbl_dir, set_dir):
         os.makedirs(d, exist_ok=True)
 
+    # class-correlated appearance so classification is learnable:
+    # Car = blue-ish wide box, Pedestrian = green-ish tall box,
+    # Cyclist = red-ish square box (BGR order)
+    base_color = {"Car": (200, 60, 40), "Pedestrian": (40, 200, 60),
+                  "Cyclist": (40, 60, 200)}
     indices = []
     for i in range(num_images):
         idx = "{:06d}".format(i)
@@ -34,13 +39,22 @@ def make_synth_kitti(root: str, num_images: int = 6, width: int = 320,
         im = rng.randint(0, 60, (height, width, 3)).astype(np.uint8)
         lines = []
         for _ in range(rng.randint(1, 4)):
-            w = rng.randint(40, 90)
-            h = rng.randint(42, min(80, height - 4))
+            cls = CLASSES[rng.randint(len(CLASSES))]
+            hmax = min(80, height - 4)
+            if cls == "Car":
+                h = rng.randint(42, min(60, hmax))
+                w = rng.randint(70, 95)
+            elif cls == "Pedestrian":
+                h = rng.randint(60, hmax + 1)
+                w = rng.randint(25, 40)
+            else:
+                h = rng.randint(45, min(70, hmax))
+                w = h + rng.randint(-4, 5)
             x1 = rng.randint(0, width - w - 1)
             y1 = rng.randint(0, height - h - 1)
             x2, y2 = x1 + w, y1 + h
-            cls = CLASSES[rng.randint(len(CLASSES))]
-            color = tuple(int(c) for c in rng.randint(100, 255, 3))
+            color = tuple(int(np.clip(c + rng.randint(-30, 30), 0, 255))
+                          for c in base_color[cls])
             cv2.rectangle(im, (x1, y1), (x2, y2), color, -1)
             # type trunc occl alpha x1 y1 x2 y2 h w l X Y Z ry
             lines.append(

@@ -163,3 +163,45 @@ def test_frozen_layers_have_no_trainable_mask(cfg):
     assert mask["conv1"] == {"kernel": False, "bias": False}
     assert mask["fire2"]["squeeze1x1"]["kernel"] is True
     assert mask["conv12"]["kernel"] is True
+
+
+def test_class_loss_stable_at_softmax_saturation(cfg):
+    """Saturated class logits (p -> 1.0 at a wrong class) must give
+    finite loss AND finite gradients.  The reference's literal
+    -log(1-p+eps) formula explodes here (1e16-scale cancelling
+    intermediates); the log-space formulation is bounded."""
+    B, A, C = 1, cfg.anchors, cfg.classes
+    preds = np.zeros((B, cfg.grid_h, cfg.grid_w, cfg.head_channels),
+                     np.float32)
+    # saturate anchor 0's class 2 logit; label says class 0
+    preds[0, 0, 0, 2] = 80.0
+    mask = np.zeros((B, A), np.float32)
+    mask[0, 0] = 1.0
+    labels = np.zeros((B, A, C), np.float32)
+    labels[0, 0, 0] = 1.0
+    tg = Targets(jnp.asarray(mask), jnp.zeros((B, A, 4)),
+                 jnp.asarray(np.full((B, A, 4), 30.0, np.float32)),
+                 jnp.asarray(labels))
+
+    def loss_of(preds_arr):
+        interp = interpret(preds_arr,
+                           jnp.asarray(cfg.anchor_box, jnp.float32),
+                           num_classes=C,
+                           anchor_per_grid=cfg.anchor_per_grid,
+                           image_width=cfg.image_width,
+                           image_height=cfg.image_height)
+        return detection_loss(
+            interp, tg, num_anchors=A,
+            loss_coef_class=cfg.loss_coef_class,
+            loss_coef_conf_pos=cfg.loss_coef_conf_pos,
+            loss_coef_conf_neg=cfg.loss_coef_conf_neg,
+            loss_coef_bbox=cfg.loss_coef_bbox,
+            epsilon=cfg.epsilon).total
+
+    loss = loss_of(jnp.asarray(preds))
+    assert np.isfinite(float(loss))
+    # the saturated wrong class costs ~ -log(eps) = 36.8 like the
+    # reference's eps floor
+    g = jax.grad(loss_of)(jnp.asarray(preds))
+    assert np.isfinite(np.asarray(g)).all()
+    assert np.abs(np.asarray(g)).max() < 1e4

@@ -16,7 +16,7 @@ checkpoints import bit-compatibly.
 
 from __future__ import annotations
 
-from typing import Dict, NamedTuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

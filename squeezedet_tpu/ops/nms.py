@@ -14,7 +14,7 @@ bit-exact numpy reference used by the host pipeline and parity tests.
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import List, Tuple
 
 import numpy as np
 

@@ -27,7 +27,7 @@ from squeezedet_tpu.loader import PrefetchLoader
 from squeezedet_tpu.models import Detector
 from squeezedet_tpu.models.skeleton import Targets
 from squeezedet_tpu.optim import build_optimizer, learning_rate_at
-from squeezedet_tpu.parallel.mesh import (batch_sharding, make_mesh,
+from squeezedet_tpu.parallel.mesh import (batch_sharding,
                                           replicated_sharding, shard_batch)
 
 

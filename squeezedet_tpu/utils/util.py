@@ -4,7 +4,7 @@ drawing helper train.py:51-72)."""
 from __future__ import annotations
 
 import time
-from typing import List, Optional
+from typing import Optional
 
 import numpy as np
 

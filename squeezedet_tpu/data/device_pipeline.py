@@ -42,6 +42,22 @@ def normalize_images(images_u8, bgr_means, dtype=jnp.float32):
     return images_u8.astype(dtype) - means
 
 
+def resize_images(images, height: int, width: int):
+    """Batched bilinear resize on device (serving path).
+
+    Device-side equivalent of the per-image ``cv2.resize`` in
+    imdb.read_image_batch (imdb.py:91): KITTI's native 1242x375 frames
+    resize to the model resolution inside the jitted program, so the
+    host ships raw uint8 frames only.  jax.image 'linear' uses the same
+    half-pixel convention as cv2's bilinear; values agree to ~1e-2
+    (float rounding), not bit-exact.
+    """
+    b, _, _, c = images.shape
+    return jax.image.resize(images.astype(jnp.float32),
+                            (b, height, width, c), method="linear",
+                            antialias=False)
+
+
 def random_flip(images, gt_boxes, rng):
     """Batched 50% horizontal flip (imdb.py:180-182).
 

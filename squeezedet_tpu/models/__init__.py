@@ -141,6 +141,23 @@ class Detector:
             self.backbone.apply(params, images, self.cfg,
                                 train=False).astype(jnp.float32))
 
+    def predict_raw_resize(self, params, images_u8):
+        """Serving path for native-resolution frames: uint8 BGR at any
+        fixed [B, H0, W0, 3] -> on-device resize to the model resolution
+        -> normalize -> Interpretation.  The caller rescales boxes back
+        by (W0-?)/... exactly like eval.py:81-84 does with
+        read_image_batch scales."""
+        from squeezedet_tpu.data.device_pipeline import (normalize_images,
+                                                         resize_images)
+        cfg = self.cfg
+        dtype = jnp.dtype(cfg.compute_dtype)
+        resized = resize_images(images_u8, cfg.image_height,
+                                cfg.image_width)
+        images = normalize_images(resized, cfg.bgr_means, dtype)
+        return self.interpret(
+            self.backbone.apply(params, images, cfg,
+                                train=False).astype(jnp.float32))
+
     def predict_postprocessed(self, params, images):
         """Fully on-device inference: forward + decode + top-k + NMS.
 

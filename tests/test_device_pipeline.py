@@ -113,3 +113,31 @@ def test_device_assignment_distance_fallback(cfg):
                                jnp.asarray(labels),
                                jnp.asarray(np.array([2])), num_classes=3)
     assert float(np.asarray(tg.input_mask).sum()) == 2.0  # distinct anchors
+
+
+def test_device_resize_close_to_cv2(rng):
+    import cv2
+    from squeezedet_tpu.data.device_pipeline import resize_images
+    im = rng.randint(0, 255, (2, 375, 1242, 3)).astype(np.uint8)
+    got = np.asarray(resize_images(jnp.asarray(im), 96, 320))
+    for b in range(2):
+        want = cv2.resize(im[b].astype(np.float32), (320, 96))
+        # same half-pixel bilinear convention; float rounding only
+        assert np.abs(got[b] - want).max() < 2.0
+        assert np.abs(got[b] - want).mean() < 0.1
+
+
+def test_predict_raw_resize_matches_host_path(cfg, rng):
+    import cv2
+    import jax
+    from squeezedet_tpu.models import get_model
+    det = get_model("squeezeDet", cfg)
+    params, _, _ = det.init(jax.random.key(0))
+    raw = rng.randint(0, 255, (1, 375, 1242, 3)).astype(np.uint8)
+    # host path: -mean then cv2.resize (imdb.read_image_batch order)
+    host_im = raw[0].astype(np.float32) - cfg.bgr_means_array()
+    host_im = cv2.resize(host_im, (cfg.image_width, cfg.image_height))
+    want = det.predict(params, jnp.asarray(host_im[None]))
+    got = jax.jit(det.predict_raw_resize)(params, jnp.asarray(raw))
+    np.testing.assert_allclose(np.asarray(got.det_probs),
+                               np.asarray(want.det_probs), atol=0.05)

@@ -75,3 +75,41 @@ def test_load_pretrained_dispatches_by_format(tmp_path):
 
     with pytest.raises(ValueError):
         load_pretrained("")
+
+
+def test_full_model_tf1_roundtrip(tmp_path):
+    """Every squeezeDet layer imported from a TF1 checkpoint with the
+    reference variable naming."""
+    cfg = tiny_test_config()
+    det = get_model("squeezeDet", cfg)
+    ref_params, _, _ = det.init(jax.random.key(7))
+
+    tf.compat.v1.reset_default_graph()
+    with tf.compat.v1.Session() as sess:
+        def add(scope, p):
+            tf.compat.v1.get_variable(scope + "/kernels",
+                                      initializer=np.asarray(p["kernel"]))
+            tf.compat.v1.get_variable(scope + "/biases",
+                                      initializer=np.asarray(p["bias"]))
+        for name, p in ref_params.items():
+            if "kernel" in p:
+                add(name, p)
+            else:  # fire module
+                for sub, sp in p.items():
+                    add(name + "/" + sub, sp)
+        sess.run(tf.compat.v1.global_variables_initializer())
+        ckpt = str(tmp_path / "model.ckpt-100")
+        tf.compat.v1.train.Saver().save(sess, ckpt)
+
+    weights = load_pretrained(ckpt)
+    params, _, _ = det.init(jax.random.key(0), pretrained=weights)
+    flat_ref = jax.tree_util.tree_leaves_with_path(ref_params)
+    flat_new = dict(jax.tree_util.tree_leaves_with_path(params))
+    # ref uses separate leaves dict; compare via paths
+    new_by_path = {jax.tree_util.keystr(k): v
+                   for k, v in jax.tree_util.tree_leaves_with_path(params)}
+    for k, v in flat_ref:
+        key = jax.tree_util.keystr(k)
+        np.testing.assert_allclose(np.asarray(new_by_path[key]),
+                                   np.asarray(v), rtol=1e-6,
+                                   err_msg=key)

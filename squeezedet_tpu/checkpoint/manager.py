@@ -67,11 +67,26 @@ class CheckpointManager:
 
     def restore(self, step: int, like: Any) -> Any:
         path = self._path(step)
-        if self._ckptr is not None:
-            abstract = jax.tree.map(
-                lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype), like)
-            return self._ckptr.restore(path, abstract)
-        raise RuntimeError("orbax unavailable")  # pragma: no cover
+        if self._ckptr is None:
+            raise RuntimeError("orbax unavailable")  # pragma: no cover
+        abstract = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype), like)
+        restored = self._ckptr.restore(path, abstract)
+
+        # Orbax restores the shapes as SAVED; a checkpoint from a
+        # different model family would otherwise flow silently into a
+        # mismatched net and produce garbage detections.
+        def _check(path_keys, r, t):
+            if np.shape(r) != np.shape(t):
+                raise ValueError(
+                    "checkpoint/model shape mismatch at {}: checkpoint "
+                    "has {}, model expects {} — wrong --net or "
+                    "resolution for this checkpoint?".format(
+                        jax.tree_util.keystr(path_keys), np.shape(r),
+                        np.shape(t)))
+            return r
+
+        return jax.tree_util.tree_map_with_path(_check, restored, like)
 
     def restore_latest(self, like: Any):
         """Returns (step, tree) or (None, None)."""

@@ -222,3 +222,25 @@ def test_device_assign_loss_matches_host_path(kitti_root, cfg):
     np.testing.assert_allclose(
         np.asarray(tg_dev.box_delta_input)[both],
         tg_host.box_delta_input[both], rtol=1e-4, atol=1e-5)
+
+
+def test_restore_rejects_mismatched_checkpoint(cfg, tmp_path):
+    """A checkpoint from a different model shape must fail loudly, not
+    flow silently into a mismatched net (orbax restores saved shapes)."""
+    from squeezedet_tpu.checkpoint.manager import CheckpointManager
+    det = get_model("squeezeDet", cfg)
+    params, mask, _ = det.init(jax.random.key(0))
+    tx = build_optimizer(cfg, mask)
+    mgr = CheckpointManager(str(tmp_path / "ck"))
+    mgr.save(3, TrainState(params=params, opt_state=tx.init(params),
+                           step=3).as_tree())
+
+    other_cfg = tiny_test_config(net="squeezeDet+", image_width=96,
+                                 image_height=96)
+    det2 = get_model("squeezeDet+", other_cfg)
+    params2, mask2, _ = det2.init(jax.random.key(0))
+    tx2 = build_optimizer(other_cfg, mask2)
+    template = TrainState(params=params2,
+                          opt_state=tx2.init(params2)).as_tree()
+    with pytest.raises(ValueError, match="shape mismatch"):
+        mgr.restore(3, template)

@@ -161,3 +161,18 @@ def test_concat_free_fire_matches_naive(net):
     want = naive(params, x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=1e-5)
+
+
+def test_scratch_init_reference_mode():
+    """scratch_init='reference' reproduces the original truncated-normal
+    fallback initializers (tiny stddevs) for strict parity."""
+    cfg = tiny_test_config().replace(scratch_init="reference")
+    det = get_model("squeezeDet", cfg)
+    params, _, _ = det.init(jax.random.key(0))
+    k = np.asarray(params["fire2"]["squeeze1x1"]["kernel"])
+    assert np.abs(k).max() < 0.021  # ~2 sigma of stddev 0.01
+    cfg_x = tiny_test_config()  # default xavier
+    det_x = get_model("squeezeDet", cfg_x)
+    params_x, _, _ = det_x.init(jax.random.key(0))
+    kx = np.asarray(params_x["fire2"]["squeeze1x1"]["kernel"])
+    assert np.abs(kx).max() > 0.05  # Glorot limit for 128-fan 1x1

@@ -65,6 +65,13 @@ class ModelConfig:
     # Input normalisation ---------------------------------------------------
     bgr_means: Tuple[float, float, float] = VGG_BGR_MEANS
 
+    # Legacy fields kept for field-for-field parity (config.py:32-35:
+    # RoI-pool grid of a never-shipped variant; config.py:75: the single
+    # conf coefficient the KITTI configs split into pos/neg).
+    grid_pool_width: int = 7
+    grid_pool_height: int = 7
+    loss_coef_conf: float = 1.0
+
     # Loss coefficients (reference src/config/config.py:75-81 and the KITTI
     # overrides at src/config/kitti_squeezeDet_config.py:24-27).
     loss_coef_conf_pos: float = 1.0

@@ -76,6 +76,8 @@ def filter_prediction_device(boxes, probs, cls_idx, *, top_n: int,
       candidates in descending-probability order.
     """
     del num_classes  # suppression is same-class-pairwise; count not needed
+    # tiny configs can have fewer anchors than TOP_N_DETECTION
+    top_n = min(top_n, boxes.shape[1])
     return jax.vmap(
         lambda b, p, c: _filter_one(b, p, c, top_n=top_n,
                                     nms_thresh=nms_thresh)

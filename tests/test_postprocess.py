@@ -58,3 +58,12 @@ def test_probs_descending(rng):
         jnp.asarray(cls)[None], top_n=64, nms_thresh=0.4, num_classes=3)
     p = np.asarray(dp[0])
     assert (np.diff(p) <= 1e-7).all()
+
+
+def test_top_n_larger_than_anchor_count(rng):
+    """Tiny grids can have fewer anchors than TOP_N_DETECTION."""
+    boxes, probs, cls = _random_dets(rng, n=20)
+    db, dp, dc, keep = filter_prediction_device(
+        jnp.asarray(boxes)[None], jnp.asarray(probs)[None],
+        jnp.asarray(cls)[None], top_n=64, nms_thresh=0.4, num_classes=3)
+    assert db.shape == (1, 20, 4) and keep.shape == (1, 20)

@@ -121,6 +121,9 @@ class ModelConfig:
     # original fallback initializers exactly.  The ConvDet head keeps its
     # tiny 1e-4 stddev in both modes (stable detection start).
     scratch_init: str = "xavier"
+    # Use the native (C++) threaded batch loader for image IO when its
+    # shared library is built (squeezedet_tpu/native/dataloader).
+    use_native_loader: bool = False
     # Name of the model family this config was built for ("squeezeDet", ...).
     net: str = ""
 

@@ -49,6 +49,17 @@ class Imdb:
         self._perm_idx: Optional[List[str]] = None
         self._cur_idx = 0
         self._lock = threading.Lock()
+        self._size_cache: Dict[str, Tuple[int, int]] = {}
+
+    def _image_size(self, idx: str) -> Tuple[int, int]:
+        """(width, height) from the image header without a full decode."""
+        size = self._size_cache.get(idx)
+        if size is None:
+            from PIL import Image
+            with Image.open(self._image_path_at(idx)) as im:
+                size = im.size
+            self._size_cache[idx] = size
+        return size
 
     # -- properties mirroring the reference API (imdb.py:30-56) ------------
     @property
@@ -117,6 +128,16 @@ class Imdb:
         import cv2
         mc = self.mc
         batch_idx = self._next_batch_idx(shuffle)
+
+        if getattr(mc, "use_native_loader", False):
+            from squeezedet_tpu.native import dataloader as ndl
+            if ndl.available():
+                paths = [self._image_path_at(i) for i in batch_idx]
+                arr, sc = ndl.load_image_batch(
+                    paths, mc.image_width, mc.image_height, mc.bgr_means,
+                    mc.num_thread)
+                return list(arr), [tuple(map(float, s)) for s in sc]
+
         images, scales = [], []
         for i in batch_idx:
             im = cv2.imread(self._image_path_at(i)).astype(np.float32)
@@ -215,12 +236,18 @@ class Imdb:
         batch_idx = self._next_batch_idx(shuffle)
 
         b = len(batch_idx)
-        images = np.zeros((b, mc.image_height, mc.image_width, 3),
-                          np.float32)
         gt_out = np.zeros((b, max_gt, 4), np.float32)
         labels_out = np.zeros((b, max_gt), np.int32)
         num_gt = np.zeros((b,), np.int32)
 
+        if getattr(mc, "use_native_loader", False):
+            from squeezedet_tpu.native import dataloader as ndl
+            if ndl.available():
+                return self._read_raw_targets_native(
+                    ndl, batch_idx, max_gt, gt_out, labels_out, num_gt)
+
+        images = np.zeros((b, mc.image_height, mc.image_width, 3),
+                          np.float32)
         for bi, idx in enumerate(batch_idx):
             im = cv2.imread(self._image_path_at(idx)).astype(np.float32)
             im -= mc.bgr_means_array()
@@ -265,6 +292,59 @@ class Imdb:
             labels_out[bi, :n] = np.asarray(labels[:n], np.int32)
             num_gt[bi] = n
 
+        return images, gt_out, labels_out, num_gt
+
+    def _read_raw_targets_native(self, ndl, batch_idx, max_gt, gt_out,
+                                 labels_out, num_gt):
+        """Native-loader variant of read_batch_raw_targets: augmentation
+        decisions + GT box math in Python (same RNG call order as the
+        reference: dy, dx, then flip — imdb.py:161-180), pixel work in
+        the C++ thread pool."""
+        mc = self.mc
+        paths, drifts, flips = [], [], []
+        for bi, idx in enumerate(batch_idx):
+            paths.append(self._image_path_at(idx))
+            orig_w, orig_h = (float(v) for v in self._image_size(idx))
+            labels = [box[4] for box in self._rois[idx][:]]
+            gt_bbox = np.array(
+                [[box[0], box[1], box[2], box[3]]
+                 for box in self._rois[idx][:]])
+
+            dx = dy = 0
+            flip = False
+            if mc.data_augmentation:
+                if mc.drift_x > 0 or mc.drift_y > 0:
+                    max_drift_x = min(gt_bbox[:, 0] - gt_bbox[:, 2] / 2.0
+                                      + 1)
+                    max_drift_y = min(gt_bbox[:, 1] - gt_bbox[:, 3] / 2.0
+                                      + 1)
+                    dy = self._rng.randint(-mc.drift_y,
+                                           min(mc.drift_y + 1,
+                                               max_drift_y))
+                    dx = self._rng.randint(-mc.drift_x,
+                                           min(mc.drift_x + 1,
+                                               max_drift_x))
+                    gt_bbox[:, 0] -= dx
+                    gt_bbox[:, 1] -= dy
+                    orig_h -= dy
+                    orig_w -= dx
+                flip = self._rng.randint(2) > 0.5
+                if flip:
+                    gt_bbox[:, 0] = orig_w - 1 - gt_bbox[:, 0]
+
+            drifts.append((dx, dy))
+            flips.append(flip)
+            gt_bbox[:, 0::2] *= mc.image_width / orig_w
+            gt_bbox[:, 1::2] *= mc.image_height / orig_h
+            n = min(len(gt_bbox), max_gt)
+            gt_out[bi, :n] = gt_bbox[:n]
+            labels_out[bi, :n] = np.asarray(labels[:n], np.int32)
+            num_gt[bi] = n
+
+        images, _ = ndl.load_train_batch(
+            paths, mc.image_width, mc.image_height, mc.bgr_means,
+            np.asarray(drifts, np.float32),
+            np.asarray(flips, np.uint8), mc.num_thread)
         return images, gt_out, labels_out, num_gt
 
     def evaluate_detections(self, eval_dir, global_step, all_boxes):

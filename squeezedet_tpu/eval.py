@@ -43,6 +43,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help='Override input width (0 = model default).')
     p.add_argument('--image_height', type=int, default=0,
                    help='Override input height (0 = model default).')
+    p.add_argument('--native_loader', action='store_true',
+                   help='Use the C++ threaded batch loader for image IO.')
     return p
 
 
@@ -175,6 +177,10 @@ def main(argv=None):
         is_training=False)
     if args.compute_dtype:
         cfg = cfg.replace(compute_dtype=args.compute_dtype)
+    if args.native_loader:
+        from squeezedet_tpu.native import dataloader as ndl
+        ndl.build()
+        cfg = cfg.replace(use_native_loader=True)
     det = get_model(args.net, cfg)
     imdb = Kitti(args.image_set, args.data_path, cfg)
     os.makedirs(args.eval_dir, exist_ok=True)

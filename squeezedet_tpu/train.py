@@ -55,6 +55,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument('--no_augmentation', action='store_true',
                    help='Disable drift/flip data augmentation '
                         '(mc.DATA_AUGMENTATION).')
+    p.add_argument('--native_loader', action='store_true',
+                   help='Use the C++ threaded batch loader for image IO '
+                        '(builds squeezedet_tpu/native/dataloader on '
+                        'first use).')
     p.add_argument('--device_assign', action='store_true',
                    help='Run anchor-target assignment on device inside '
                         'the train step instead of on host threads.')
@@ -93,6 +97,10 @@ def main(argv=None):
         cfg = cfg.replace(data_augmentation=False)
     if args.learning_rate:
         cfg = cfg.replace(learning_rate=args.learning_rate)
+    if args.native_loader:
+        from squeezedet_tpu.native import dataloader as ndl
+        ndl.build()
+        cfg = cfg.replace(use_native_loader=True)
     if args.compute_dtype:
         cfg = cfg.replace(compute_dtype=args.compute_dtype)
 

@@ -128,6 +128,14 @@ class Kitti(Imdb):
         image_set_file = os.path.join(self._data_root_path, 'ImageSets',
                                       self._image_set + '.txt')
         n = len(self._image_idx)
+        if self._eval_tool == _NATIVE_EVAL and \
+                not os.path.exists(self._eval_tool):
+            try:  # best-effort build of the C++ evaluator
+                from squeezedet_tpu.native import build_kitti_eval
+                build_kitti_eval()
+            except Exception as e:
+                print('Could not build native evaluator ({}); using the '
+                      'python scorer'.format(e))
         if os.path.exists(self._eval_tool):
             cmd = [self._eval_tool, gt_training_dir, image_set_file,
                    result_dir, str(n)]

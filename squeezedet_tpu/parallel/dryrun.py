@@ -1,0 +1,109 @@
+"""Hermetic multi-chip dry run on a virtual CPU mesh.
+
+The driver validates the multi-chip training path by calling
+``__graft_entry__.dryrun_multichip(n)`` on a host whose *default* JAX
+platform may be a tunneled TPU (``JAX_PLATFORMS=axon``).  Any
+default-placed op (``jnp.asarray``, ``jax.random.key``) would dispatch
+to that backend, so the dry run must pin the CPU platform *before* the
+JAX backend initializes.  ``run()`` below does exactly that and is
+intended to execute in a fresh process (see ``__graft_entry__``);
+``main()`` is the subprocess entry point.
+
+Reference equivalent: none — the reference is single-GPU
+(``tf.device('/gpu:id')``, src/nets/squeezeDet.py:21); this is the
+TPU-native data-parallel path (params replicated, batch sharded over a
+``data`` mesh axis, XLA inserting the gradient psum over ICI).
+"""
+
+from __future__ import annotations
+
+
+def run(n_devices: int) -> float:
+    """Compile + execute one data-parallel training step on an
+    ``n_devices``-device mesh and return the (finite) loss.
+
+    Must be called before the JAX backend initializes in this process:
+    it pins ``jax_platforms=cpu`` and requests ``n_devices`` virtual CPU
+    devices, which jax 0.9+ only honors pre-initialization.
+    """
+    import jax
+
+    # Pin the hermetic CPU platform before any backend touch.  Setting
+    # os.environ["JAX_PLATFORMS"] here would be too late if jax read the
+    # env at import; jax.config.update is the supported pre-init path.
+    try:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", n_devices)
+    except RuntimeError:
+        # Backend already initialized (e.g. called in-process after
+        # other JAX work).  jax.devices("cpu") below can still supply
+        # virtual CPU devices if enough were configured; otherwise the
+        # assert fires with a clear message.
+        pass
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from squeezedet_tpu.config import tiny_test_config
+    from squeezedet_tpu.models import get_model
+    from squeezedet_tpu.models.skeleton import Targets
+    from squeezedet_tpu.optim import build_optimizer
+    from squeezedet_tpu.parallel.mesh import (make_mesh,
+                                              replicated_sharding,
+                                              shard_batch)
+    from squeezedet_tpu.trainer import make_train_step
+
+    devices = jax.devices("cpu")
+    assert len(devices) >= n_devices, (
+        "need {} CPU devices, have {} (platform pinning happened after "
+        "backend init?)".format(n_devices, len(devices)))
+    devices = devices[:n_devices]
+
+    batch = n_devices  # one image per device along the data axis
+    cfg = tiny_test_config(image_width=64, image_height=64,
+                           batch_size=batch)
+    det = get_model("squeezeDet", cfg)
+    params, mask, _ = det.init(jax.random.key(0))
+    det.set_trainable_mask(mask)
+    tx = build_optimizer(cfg, mask)
+    opt_state = tx.init(params)
+
+    mesh = make_mesh(n_devices, devices=devices)
+    rep = replicated_sharding(mesh)
+    params = jax.device_put(params, rep)
+    opt_state = jax.device_put(opt_state, rep)
+
+    rng = np.random.RandomState(0)
+    images = shard_batch(mesh, jnp.asarray(
+        rng.randn(batch, cfg.image_height, cfg.image_width, 3)
+        .astype(np.float32)))
+    a = cfg.anchors
+    masks = np.zeros((batch, a), np.float32)
+    labels = np.zeros((batch, a, cfg.classes), np.float32)
+    masks[:, 5] = 1.0
+    labels[:, 5, 0] = 1.0
+    targets = shard_batch(mesh, Targets(
+        jnp.asarray(masks),
+        jnp.asarray(rng.randn(batch, a, 4).astype(np.float32) * 0.1),
+        jnp.asarray(np.full((batch, a, 4), 30.0, np.float32)),
+        jnp.asarray(labels)))
+
+    step = make_train_step(det, tx, mesh=mesh, donate=False)
+    new_params, new_opt_state, lb = step(params, opt_state, images,
+                                         targets, jax.random.key(1))
+    jax.block_until_ready(new_params)
+    total = float(lb.total)
+    assert np.isfinite(total), "loss diverged in dryrun"
+    return total
+
+
+def main() -> None:
+    import sys
+
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    total = run(n)
+    print("dryrun_multichip({}) OK: loss = {:.4f}".format(n, total))
+
+
+if __name__ == "__main__":
+    main()

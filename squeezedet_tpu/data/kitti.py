@@ -193,103 +193,107 @@ class Kitti(Imdb):
             output_image_dir=det_error_dir, num_det_per_type=10)
         return stats, ims
 
-    def analyze_detections(self, detection_file_dir, det_error_file):
-        def _save_detection(f, idx, error_type, det, score):
-            f.write(
-                '{:s} {:s} {:.1f} {:.1f} {:.1f} {:.1f} {:s} {:.3f}\n'.format(
-                    idx, error_type,
-                    det[0] - det[2] / 2., det[1] - det[3] / 2.,
-                    det[0] + det[2] / 2., det[1] + det[3] / 2.,
-                    self._classes[int(det[4])], score))
-
-        # load detections back in center format
-        self._det_rois = {}
+    def _load_detection_rois(self, detection_file_dir):
+        """Read the per-image KITTI det files back as score-descending
+        center-format rows [cx, cy, w, h, cls, score]."""
+        rois = {}
         for idx in self._image_idx:
-            det_file_name = os.path.join(detection_file_dir, idx + '.txt')
-            with open(det_file_name) as f:
-                lines = f.readlines()
-            bboxes = []
-            for line in lines:
-                obj = line.strip().split(' ')
-                cls = self._class_to_idx[obj[0].lower().strip()]
-                xmin, ymin = float(obj[4]), float(obj[5])
-                xmax, ymax = float(obj[6]), float(obj[7])
-                score = float(obj[-1])
-                x, y, w, h = bbox_transform_inv([xmin, ymin, xmax, ymax])
-                bboxes.append([x, y, w, h, cls, score])
-            bboxes.sort(key=lambda x: x[-1], reverse=True)
-            self._det_rois[idx] = bboxes
+            path = os.path.join(detection_file_dir, idx + '.txt')
+            rows = []
+            with open(path) as f:
+                for line in f:
+                    fields = line.split()
+                    if not fields:
+                        continue
+                    cls = self._class_to_idx[fields[0].lower()]
+                    corners = [float(v) for v in fields[4:8]]
+                    cx, cy, w, h = bbox_transform_inv(corners)
+                    rows.append([cx, cy, w, h, cls, float(fields[-1])])
+            rows.sort(key=lambda r: r[-1], reverse=True)
+            rois[idx] = rows
+        return rois
 
-        num_objs = num_dets = num_correct = 0.
-        num_loc_error = num_cls_error = num_bg_error = 0.
-        num_repeated_error = num_detected_obj = 0.
+    @staticmethod
+    def _audit_one_detection(det, gt_bboxes, claimed):
+        """Label one detection against an image's GT set.
+
+        Returns one of 'bg' (best IoU <= 0.1), 'cls' (overlaps a GT of a
+        different class), 'loc' (right class, IoU in (0.1, 0.5)),
+        'repeated' (duplicate claim) or 'correct' (marks the GT claimed).
+        """
+        overlaps = batch_iou(gt_bboxes[:, :4], det[:4])
+        j = int(np.argmax(overlaps))
+        best = float(overlaps[j])
+        if best <= 0.1:
+            return 'bg', j
+        if gt_bboxes[j, 4] != det[4]:
+            return 'cls', j
+        if best < 0.5:
+            return 'loc', j
+        if claimed[j]:
+            return 'repeated', j
+        claimed[j] = True
+        return 'correct', j
+
+    def analyze_detections(self, detection_file_dir, det_error_file):
+        """Detection-error taxonomy over a scored split.
+
+        Mirrors the reference's audit semantics (kitti.py:182-296): per
+        image, only the ``len(gt)`` highest-scoring detections are
+        audited (the reference iterates all detections but gates every
+        counter and write on ``i < len(gt)``, which reduces to this
+        slice), each against its best-IoU ground truth, with 0.1/0.5 IoU
+        bands separating background / localization / classification /
+        repeated errors from correct detections.  Loc/cls/bg errors and
+        undetected ('missed') GT are appended to ``det_error_file`` for
+        the visualization gallery.  Unlike the reference, the summary
+        ratios are zero (not a ZeroDivisionError) on empty inputs.
+        """
+        self._det_rois = self._load_detection_rois(detection_file_dir)
+
+        from collections import Counter
+        tally = Counter()
+        audited = objects = found = 0
+
+        def _emit(f, idx, kind, row, score):
+            cx, cy, w, h = row[0], row[1], row[2], row[3]
+            f.write('{} {} {:.1f} {:.1f} {:.1f} {:.1f} {} {:.3f}\n'.format(
+                idx, kind, cx - w / 2., cy - h / 2., cx + w / 2.,
+                cy + h / 2., self._classes[int(row[4])], score))
 
         with open(det_error_file, 'w') as f:
             for idx in self._image_idx:
                 gt_bboxes = np.array(self._rois[idx])
-                num_objs += len(gt_bboxes)
-                detected = [False] * len(gt_bboxes)
-
-                det_bboxes = self._det_rois[idx]
-                if len(gt_bboxes) < 1:
+                objects += len(gt_bboxes)
+                if len(gt_bboxes) == 0:
                     continue
+                claimed = np.zeros(len(gt_bboxes), bool)
+                for det in self._det_rois[idx][:len(gt_bboxes)]:
+                    kind, _ = self._audit_one_detection(det, gt_bboxes,
+                                                        claimed)
+                    tally[kind] += 1
+                    audited += 1
+                    if kind in ('loc', 'cls', 'bg'):
+                        _emit(f, idx, kind, det, det[5])
+                for gt_row, was_claimed in zip(gt_bboxes, claimed):
+                    if not was_claimed:
+                        _emit(f, idx, 'missed', gt_row, -1.0)
+                found += int(np.count_nonzero(claimed))
 
-                for i, det in enumerate(det_bboxes):
-                    if i < len(gt_bboxes):
-                        num_dets += 1
-                    ious = batch_iou(gt_bboxes[:, :4], det[:4])
-                    max_iou = np.max(ious)
-                    gt_idx = np.argmax(ious)
-                    if max_iou > 0.1:
-                        if gt_bboxes[gt_idx, 4] == det[4]:
-                            if max_iou >= 0.5:
-                                if i < len(gt_bboxes):
-                                    if not detected[gt_idx]:
-                                        num_correct += 1
-                                        detected[gt_idx] = True
-                                    else:
-                                        num_repeated_error += 1
-                            else:
-                                if i < len(gt_bboxes):
-                                    num_loc_error += 1
-                                    _save_detection(f, idx, 'loc', det,
-                                                    det[5])
-                        else:
-                            if i < len(gt_bboxes):
-                                num_cls_error += 1
-                                _save_detection(f, idx, 'cls', det, det[5])
-                    else:
-                        if i < len(gt_bboxes):
-                            num_bg_error += 1
-                            _save_detection(f, idx, 'bg', det, det[5])
+        def _ratio(n, d):
+            return n / d if d else 0.0
 
-                for i, gt in enumerate(gt_bboxes):
-                    if not detected[i]:
-                        _save_detection(f, idx, 'missed', gt, -1.0)
-                num_detected_obj += sum(detected)
-
-        print('Detection Analysis:')
-        print('    Number of detections: {}'.format(num_dets))
-        print('    Number of objects: {}'.format(num_objs))
-        print('    Percentage of correct detections: {}'.format(
-            num_correct / num_dets))
-        print('    Percentage of localization error: {}'.format(
-            num_loc_error / num_dets))
-        print('    Percentage of classification error: {}'.format(
-            num_cls_error / num_dets))
-        print('    Percentage of background error: {}'.format(
-            num_bg_error / num_dets))
-        print('    Percentage of repeated detections: {}'.format(
-            num_repeated_error / num_dets))
-        print('    Recall: {}'.format(num_detected_obj / num_objs))
-
-        return {
-            'num of detections': num_dets,
-            'num of objects': num_objs,
-            '% correct detections': num_correct / num_dets,
-            '% localization error': num_loc_error / num_dets,
-            '% classification error': num_cls_error / num_dets,
-            '% background error': num_bg_error / num_dets,
-            '% repeated error': num_repeated_error / num_dets,
-            '% recall': num_detected_obj / num_objs,
+        stats = {
+            'num of detections': float(audited),
+            'num of objects': float(objects),
+            '% correct detections': _ratio(tally['correct'], audited),
+            '% localization error': _ratio(tally['loc'], audited),
+            '% classification error': _ratio(tally['cls'], audited),
+            '% background error': _ratio(tally['bg'], audited),
+            '% repeated error': _ratio(tally['repeated'], audited),
+            '% recall': _ratio(found, objects),
         }
+        print('Detection Analysis:')
+        for key, value in stats.items():
+            print('    {}: {}'.format(key, value))
+        return stats

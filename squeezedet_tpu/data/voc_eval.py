@@ -1,151 +1,176 @@
-"""Pascal VOC AP evaluation.
+"""Pascal VOC average-precision scoring.
 
-Semantics from reference ``src/dataset/voc_eval.py`` (itself derived from
-Faster R-CNN): XML annotation parsing (:14-31), 11-point VOC07 or
-area-under-PR AP (:33-64), greedy max-IoU TP/FP matching at a
-configurable overlap with 'difficult' exclusion (:66-205).  The
-annotation cache uses npz instead of cPickle.
+Implements the standard VOC detection protocol (the same one the
+reference vendors at ``src/dataset/voc_eval.py``, which in turn derives
+from the MIT-licensed Faster R-CNN codebase): detections for one class
+are ranked by score across the whole split and greedily matched to the
+best-overlapping ground-truth box of that class in their image; a match
+above the overlap threshold is a true positive the first time the box is
+claimed, a duplicate afterwards, and ``difficult`` ground truth absorbs
+matches without counting either way.  AP is either the VOC07 11-point
+sample mean or the area under the monotone precision envelope.
+
+Overlap uses the VOC inclusive-pixel convention (a box spanning columns
+``xmin..xmax`` is ``xmax - xmin + 1`` wide), which is the same +1
+convention as this package's center-format box library — so the overlap
+here is ``ops.boxes.batch_iou`` after a corner->center conversion.
 """
 
 from __future__ import annotations
 
 import os
-import xml.etree.ElementTree as ET
-from typing import Dict, List
+from dataclasses import dataclass
+from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
 
+from squeezedet_tpu.ops.boxes import batch_iou
+
+
+def _int_text(node, tag: str, default: int = 0) -> int:
+    child = node.find(tag)
+    return int(child.text) if child is not None else default
+
 
 def parse_rec(filename: str) -> List[dict]:
-    """Parse a PASCAL VOC xml file (voc_eval.py:14-31)."""
-    tree = ET.parse(filename)
-    objects = []
-    for obj in tree.findall('object'):
-        bbox = obj.find('bndbox')
-        objects.append({
+    """Parse one VOC annotation XML into a list of object records with
+    keys ``name``/``pose``/``truncated``/``difficult``/``bbox`` (corner
+    ints), the record shape the scorer consumes."""
+    import xml.etree.ElementTree as ET
+
+    records = []
+    for obj in ET.parse(filename).findall('object'):
+        box = obj.find('bndbox')
+        pose = obj.find('pose')
+        records.append({
             'name': obj.find('name').text,
-            'pose': obj.find('pose').text if obj.find('pose') is not None
-            else '',
-            'truncated': int(obj.find('truncated').text)
-            if obj.find('truncated') is not None else 0,
-            'difficult': int(obj.find('difficult').text)
-            if obj.find('difficult') is not None else 0,
-            'bbox': [int(bbox.find('xmin').text),
-                     int(bbox.find('ymin').text),
-                     int(bbox.find('xmax').text),
-                     int(bbox.find('ymax').text)],
+            'pose': pose.text if pose is not None else '',
+            'truncated': _int_text(obj, 'truncated'),
+            'difficult': _int_text(obj, 'difficult'),
+            'bbox': [_int_text(box, t) for t in
+                     ('xmin', 'ymin', 'xmax', 'ymax')],
         })
-    return objects
+    return records
 
 
-def voc_ap(rec: np.ndarray, prec: np.ndarray,
+def voc_ap(recall: np.ndarray, precision: np.ndarray,
            use_07_metric: bool = False) -> float:
-    """AP from recall/precision curves (voc_eval.py:33-64)."""
+    """AP from a recall/precision curve.
+
+    VOC07 mode samples the max precision at recall >= t for the 11
+    thresholds t in {0, 0.1, ..., 1.0}; otherwise integrates the area
+    under the monotonically-decreasing precision envelope.
+    """
     if use_07_metric:
-        ap = 0.0
-        for t in np.arange(0.0, 1.1, 0.1):
-            if np.sum(rec >= t) == 0:
-                p = 0.0
-            else:
-                p = np.max(prec[rec >= t])
-            ap += p / 11.0
-        return ap
-    mrec = np.concatenate(([0.0], rec, [1.0]))
-    mpre = np.concatenate(([0.0], prec, [0.0]))
-    for i in range(mpre.size - 1, 0, -1):
-        mpre[i - 1] = np.maximum(mpre[i - 1], mpre[i])
-    i = np.where(mrec[1:] != mrec[:-1])[0]
-    return float(np.sum((mrec[i + 1] - mrec[i]) * mpre[i + 1]))
+        samples = [np.max(precision[recall >= t], initial=0.0)
+                   for t in np.linspace(0.0, 1.0, 11)]
+        return float(np.mean(samples))
+    r = np.concatenate(([0.0], recall, [1.0]))
+    p = np.concatenate(([0.0], precision, [0.0]))
+    envelope = np.maximum.accumulate(p[::-1])[::-1]
+    dr = np.diff(r)
+    steps = np.flatnonzero(dr)
+    return float(np.sum(dr[steps] * envelope[steps + 1]))
+
+
+@dataclass
+class _ImageGt:
+    """Per-image ground truth for one class, in center format."""
+    boxes: np.ndarray       # [n, 4] (cx, cy, w, h) with the +1 convention
+    difficult: np.ndarray   # [n] bool
+    claimed: np.ndarray     # [n] bool, set as detections match
+
+
+def _center(corners: Sequence[float]) -> List[float]:
+    xmin, ymin, xmax, ymax = corners
+    w = xmax - xmin + 1.0
+    h = ymax - ymin + 1.0
+    return [xmin + 0.5 * w, ymin + 0.5 * h, w, h]
+
+
+def _read_image_set(imagesetfile: str) -> List[str]:
+    with open(imagesetfile) as f:
+        return [line.strip() for line in f if line.strip()]
+
+
+def _cached_annotations(cachedir: str, annopath: str,
+                        names: Sequence[str]) -> Dict[str, list]:
+    """All images' parsed annotations, cached as one npz per split dir."""
+    os.makedirs(cachedir, exist_ok=True)
+    cachefile = os.path.join(cachedir, 'annots.npz')
+    if os.path.isfile(cachefile):
+        return np.load(cachefile, allow_pickle=True)['recs'][0]
+    recs = {name: parse_rec(annopath.format(name)) for name in names}
+    np.savez_compressed(cachefile, recs=np.array([recs], dtype=object))
+    return recs
+
+
+def _load_class_detections(
+        detfile: str) -> Tuple[List[str], np.ndarray, np.ndarray]:
+    """Det-file rows -> (image ids, scores, corner boxes [n, 4])."""
+    ids: List[str] = []
+    scores: List[float] = []
+    boxes: List[List[float]] = []
+    with open(detfile) as f:
+        for line in f:
+            fields = line.split()
+            if not fields:
+                continue
+            ids.append(fields[0])
+            scores.append(float(fields[1]))
+            boxes.append([float(v) for v in fields[2:6]])
+    return ids, np.asarray(scores), np.asarray(boxes).reshape(len(ids), 4)
 
 
 def voc_eval(detpath: str, annopath: str, imagesetfile: str,
              classname: str, cachedir: str, ovthresh: float = 0.5,
              use_07_metric: bool = False):
-    """PASCAL VOC detection evaluation (voc_eval.py:66-205).
+    """Score one class's detections against a VOC split.
 
-    Returns (rec, prec, ap).
+    ``detpath``/``annopath`` are templates with a ``{}`` slot for the
+    class / image name.  Returns ``(recall, precision, ap)``.
     """
-    os.makedirs(cachedir, exist_ok=True)
-    cachefile = os.path.join(cachedir, 'annots.npz')
-    with open(imagesetfile) as f:
-        imagenames = [x.strip() for x in f.readlines()]
+    names = _read_image_set(imagesetfile)
+    recs = _cached_annotations(cachedir, annopath, names)
 
-    if not os.path.isfile(cachefile):
-        recs: Dict[str, list] = {}
-        for i, imagename in enumerate(imagenames):
-            recs[imagename] = parse_rec(annopath.format(imagename))
-            if i % 100 == 0:
-                print('Reading annotation for {:d}/{:d}'.format(
-                    i + 1, len(imagenames)))
-        print('Saving cached annotations to {:s}'.format(cachefile))
-        np.savez_compressed(cachefile,
-                            recs=np.array([recs], dtype=object))
-    else:
-        recs = np.load(cachefile, allow_pickle=True)['recs'][0]
+    gt_by_image: Dict[str, _ImageGt] = {}
+    total_positives = 0
+    for name in names:
+        objs = [o for o in recs[name] if o['name'] == classname]
+        boxes = np.array([_center(o['bbox']) for o in objs],
+                         np.float64).reshape(len(objs), 4)
+        difficult = np.array([bool(o['difficult']) for o in objs], bool)
+        gt_by_image[name] = _ImageGt(boxes, difficult,
+                                     np.zeros(len(objs), bool))
+        total_positives += int(np.count_nonzero(~difficult))
 
-    # extract gt for this class
-    class_recs = {}
-    npos = 0
-    for imagename in imagenames:
-        R = [obj for obj in recs[imagename] if obj['name'] == classname]
-        bbox = np.array([x['bbox'] for x in R])
-        difficult = np.array([x['difficult'] for x in R]).astype(bool)
-        det = [False] * len(R)
-        npos += sum(~difficult)
-        class_recs[imagename] = {'bbox': bbox, 'difficult': difficult,
-                                 'det': det}
-
-    detfile = detpath.format(classname)
-    with open(detfile) as f:
-        lines = f.readlines()
-    splitlines = [x.strip().split(' ') for x in lines]
-    image_ids = [x[0] for x in splitlines]
-    confidence = np.array([float(x[1]) for x in splitlines])
-    BB = np.array([[float(z) for z in x[2:]] for x in splitlines])
-
-    nd = len(image_ids)
-    tp = np.zeros(nd)
-    fp = np.zeros(nd)
-    if nd == 0:
+    ids, scores, det_corners = _load_class_detections(
+        detpath.format(classname))
+    if not ids:
         return np.array([]), np.array([]), 0.0
 
-    sorted_ind = np.argsort(-confidence)
-    BB = BB[sorted_ind, :]
-    image_ids = [image_ids[x] for x in sorted_ind]
-
-    for d in range(nd):
-        R = class_recs[image_ids[d]]
-        bb = BB[d, :].astype(float)
-        ovmax = -np.inf
-        BBGT = R['bbox'].astype(float)
-        if BBGT.size > 0:
-            ixmin = np.maximum(BBGT[:, 0], bb[0])
-            iymin = np.maximum(BBGT[:, 1], bb[1])
-            ixmax = np.minimum(BBGT[:, 2], bb[2])
-            iymax = np.minimum(BBGT[:, 3], bb[3])
-            iw = np.maximum(ixmax - ixmin + 1.0, 0.0)
-            ih = np.maximum(iymax - iymin + 1.0, 0.0)
-            inters = iw * ih
-            uni = ((bb[2] - bb[0] + 1.0) * (bb[3] - bb[1] + 1.0)
-                   + (BBGT[:, 2] - BBGT[:, 0] + 1.0)
-                   * (BBGT[:, 3] - BBGT[:, 1] + 1.0) - inters)
-            overlaps = inters / uni
-            ovmax = np.max(overlaps)
-            jmax = np.argmax(overlaps)
-
-        if ovmax > ovthresh:
-            if not R['difficult'][jmax]:
-                if not R['det'][jmax]:
-                    tp[d] = 1.0
-                    R['det'][jmax] = True
-                else:
-                    fp[d] = 1.0
+    order = np.argsort(-scores)
+    hit = np.zeros(len(ids))
+    miss = np.zeros(len(ids))
+    for rank, d in enumerate(order):
+        gt = gt_by_image[ids[d]]
+        if len(gt.boxes) == 0:
+            miss[rank] = 1.0
+            continue
+        overlaps = batch_iou(gt.boxes, _center(det_corners[d]))
+        j = int(np.argmax(overlaps))
+        if overlaps[j] <= ovthresh:
+            miss[rank] = 1.0
+        elif gt.difficult[j]:
+            pass  # difficult GT absorbs the detection: neither tp nor fp
+        elif gt.claimed[j]:
+            miss[rank] = 1.0  # duplicate of an already-matched box
         else:
-            fp[d] = 1.0
+            hit[rank] = 1.0
+            gt.claimed[j] = True
 
-    fp = np.cumsum(fp)
-    tp = np.cumsum(tp)
-    rec = tp / float(npos)
-    prec = tp / np.maximum(tp + fp, np.finfo(np.float64).eps)
-    ap = voc_ap(rec, prec, use_07_metric)
-    return rec, prec, ap
+    tp = np.cumsum(hit)
+    fp = np.cumsum(miss)
+    recall = tp / float(total_positives)
+    precision = tp / np.maximum(tp + fp, np.finfo(np.float64).eps)
+    return recall, precision, voc_ap(recall, precision, use_07_metric)

@@ -269,9 +269,15 @@ def eval_class(cls: str, groundtruth: List[List[GtBox]],
     precision = [0.0] * N_SAMPLE_PTS
     aos = [0.0] * N_SAMPLE_PTS
     for i in range(len(thresholds)):
-        precision[i] = tps[i] / float(tps[i] + fps[i])
+        # tp+fp can be 0 at a threshold whose sole detection is absorbed
+        # by an ignored GT or DontCare region in the second pass; the C++
+        # devkit computes 0/0 = NaN there (evaluate_object.cpp:567) and
+        # the max-envelope below ignores NaN candidates the same way
+        # std::max_element does, so mirror NaN instead of raising.
+        denom = float(tps[i] + fps[i])
+        precision[i] = tps[i] / denom if denom else float("nan")
         if compute_aos:
-            aos[i] = sims[i] / float(tps[i] + fps[i])
+            aos[i] = sims[i] / denom if denom else float("nan")
     # cumulative max from the right, only over threshold-covered entries
     for i in range(len(thresholds)):
         precision[i] = max(precision[i:])
@@ -356,4 +362,11 @@ def evaluate(result_dir: str, image_set_filename: str, gt_dir: str,
                 f.write("%f %f %f %f\n" % (
                     i / (N_SAMPLE_PTS - 1.0), precisions[0][i],
                     precisions[1][i], precisions[2][i]))
+        if compute_aos:
+            with open(os.path.join(
+                    plot_dir, "{}_orientation.txt".format(cls)), "w") as f:
+                for i in range(N_SAMPLE_PTS):
+                    f.write("%f %f %f %f\n" % (
+                        i / (N_SAMPLE_PTS - 1.0), aoses[0][i],
+                        aoses[1][i], aoses[2][i]))
     return results

@@ -439,6 +439,16 @@ int main(int argc, char** argv) {
                     curves[1].precision[i], curves[2].precision[i]);
       plot << buf;
     }
+    if (compute_aos) {
+      std::ofstream ori_plot(plot_dir + "/" + name + "_orientation.txt");
+      for (int i = 0; i < kNumSamplePts; ++i) {
+        char buf[128];
+        std::snprintf(buf, sizeof buf, "%f %f %f %f\n",
+                      i / (kNumSamplePts - 1.0), curves[0].aos[i],
+                      curves[1].aos[i], curves[2].aos[i]);
+        ori_plot << buf;
+      }
+    }
   }
   std::printf("Evaluation results written to %s\n", result_dir.c_str());
   return 0;

@@ -88,6 +88,38 @@ class CheckpointManager:
 
         return jax.tree_util.tree_map_with_path(_check, restored, like)
 
+    def restore_params(self, step: int, params_like: Any) -> Any:
+        """Restore only the ``params`` subtree of a saved train state.
+
+        Inference jobs (eval daemon, demo) restore model parameters
+        without reconstructing an optimizer-state template — the moral
+        equivalent of the reference's ``Saver(model.model_params)``
+        (eval.py:205).  Shape validation matches :meth:`restore`.
+        """
+        path = self._path(step)
+        if self._ckptr is None:
+            raise RuntimeError("orbax unavailable")  # pragma: no cover
+        abstract = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype),
+            params_like)
+        with ocp.PyTreeCheckpointer() as ckptr:
+            restored = ckptr.restore(
+                path, args=ocp.args.PyTreeRestore(
+                    item={"params": abstract}, partial_restore=True))
+
+        def _check(path_keys, r, t):
+            if np.shape(r) != np.shape(t):
+                raise ValueError(
+                    "checkpoint/model shape mismatch at {}: checkpoint "
+                    "has {}, model expects {} — wrong --net or "
+                    "resolution for this checkpoint?".format(
+                        jax.tree_util.keystr(path_keys), np.shape(r),
+                        np.shape(t)))
+            return r
+
+        return jax.tree_util.tree_map_with_path(
+            _check, restored["params"], params_like)
+
     def restore_latest(self, like: Any):
         """Returns (step, tree) or (None, None)."""
         step = latest_step(self.directory)

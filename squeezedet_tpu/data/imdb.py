@@ -118,6 +118,59 @@ class Imdb:
     def _image_path_at(self, idx: str) -> str:
         raise NotImplementedError
 
+    # -- augmentation ---------------------------------------------------------
+    def _augment(self, gt_bbox: np.ndarray, orig_w: float, orig_h: float,
+                 im: Optional[np.ndarray] = None):
+        """Drift crop + 50% horizontal flip, shared by every reader.
+
+        Draws RNG values in the reference's call order — dy, dx, then
+        flip (imdb.py:161-180) — so all three batch paths consume the
+        stream identically; a parity test pins this.  Shifts the GT
+        boxes and (when ``im`` is given) applies the zero-padded crop
+        and flip to the pixels; the native loader passes ``im=None``
+        and replays (dx, dy, flip) in its C++ thread pool.
+
+        Returns (im, gt_bbox, orig_w, orig_h, (dx, dy), flip).
+        """
+        mc = self.mc
+        dx = dy = 0
+        if mc.drift_x > 0 or mc.drift_y > 0:
+            # largest drift that keeps every GT box inside the image
+            # (imdb.py:155-162)
+            max_drift_x = min(gt_bbox[:, 0] - gt_bbox[:, 2] / 2.0 + 1)
+            max_drift_y = min(gt_bbox[:, 1] - gt_bbox[:, 3] / 2.0 + 1)
+            assert max_drift_x >= 0 and max_drift_y >= 0, 'bbox out of image'
+            dy = self._rng.randint(-mc.drift_y,
+                                   min(mc.drift_y + 1, max_drift_y))
+            dx = self._rng.randint(-mc.drift_x,
+                                   min(mc.drift_x + 1, max_drift_x))
+            gt_bbox[:, 0] -= dx
+            gt_bbox[:, 1] -= dy
+            orig_h -= dy
+            orig_w -= dx
+            if im is not None:
+                orig_x, dist_x = max(dx, 0), max(-dx, 0)
+                orig_y, dist_y = max(dy, 0), max(-dy, 0)
+                shifted = np.zeros((int(orig_h), int(orig_w), 3),
+                                   np.float32)
+                shifted[dist_y:, dist_x:, :] = im[orig_y:, orig_x:, :]
+                im = shifted
+
+        flip = self._rng.randint(2) > 0.5
+        if flip:
+            if im is not None:
+                im = im[:, ::-1, :]
+            gt_bbox[:, 0] = orig_w - 1 - gt_bbox[:, 0]
+        return im, gt_bbox, orig_w, orig_h, (dx, dy), flip
+
+    def _warn_truncated_gt(self, idx: str, total: int, max_gt: int):
+        """The raw-targets paths pad GT to a fixed max_gt; dropping
+        annotations silently would corrupt training on denser datasets,
+        so count and report it (cf. the dense path's num_discarded)."""
+        print('WARNING: {}: {} of {} GT boxes dropped by max_gt={}; '
+              'raise max_gt to cover the dataset'.format(
+                  idx, total - max_gt, total, max_gt))
+
     # -- reading ------------------------------------------------------------
     def read_image_batch(self, shuffle: bool = True):
         """Images only (eval path, imdb.py:63-97).
@@ -174,31 +227,8 @@ class Imdb:
             if mc.data_augmentation:
                 assert mc.drift_x >= 0 and mc.drift_y > 0, \
                     'mc.DRIFT_X and mc.DRIFT_Y must be >= 0'
-                if mc.drift_x > 0 or mc.drift_y > 0:
-                    # keep every gt box inside the image (imdb.py:155-162)
-                    max_drift_x = min(gt_bbox[:, 0] - gt_bbox[:, 2] / 2.0 + 1)
-                    max_drift_y = min(gt_bbox[:, 1] - gt_bbox[:, 3] / 2.0 + 1)
-                    assert max_drift_x >= 0 and max_drift_y >= 0, \
-                        'bbox out of image'
-                    dy = self._rng.randint(-mc.drift_y,
-                                           min(mc.drift_y + 1, max_drift_y))
-                    dx = self._rng.randint(-mc.drift_x,
-                                           min(mc.drift_x + 1, max_drift_x))
-                    gt_bbox[:, 0] -= dx
-                    gt_bbox[:, 1] -= dy
-                    orig_h -= dy
-                    orig_w -= dx
-                    orig_x, dist_x = max(dx, 0), max(-dx, 0)
-                    orig_y, dist_y = max(dy, 0), max(-dy, 0)
-                    distorted = np.zeros((int(orig_h), int(orig_w), 3),
-                                         np.float32)
-                    distorted[dist_y:, dist_x:, :] = im[orig_y:, orig_x:, :]
-                    im = distorted
-
-                # 50% horizontal flip (imdb.py:180-182)
-                if self._rng.randint(2) > 0.5:
-                    im = im[:, ::-1, :]
-                    gt_bbox[:, 0] = orig_w - 1 - gt_bbox[:, 0]
+                im, gt_bbox, orig_w, orig_h, _, _ = self._augment(
+                    gt_bbox, orig_w, orig_h, im)
 
             im = cv2.resize(im, (mc.image_width, mc.image_height))
             image_per_batch.append(im)
@@ -258,35 +288,15 @@ class Imdb:
                  for box in self._rois[idx][:]])
 
             if mc.data_augmentation:
-                if mc.drift_x > 0 or mc.drift_y > 0:
-                    max_drift_x = min(gt_bbox[:, 0] - gt_bbox[:, 2] / 2.0
-                                      + 1)
-                    max_drift_y = min(gt_bbox[:, 1] - gt_bbox[:, 3] / 2.0
-                                      + 1)
-                    dy = self._rng.randint(-mc.drift_y,
-                                           min(mc.drift_y + 1,
-                                               max_drift_y))
-                    dx = self._rng.randint(-mc.drift_x,
-                                           min(mc.drift_x + 1,
-                                               max_drift_x))
-                    gt_bbox[:, 0] -= dx
-                    gt_bbox[:, 1] -= dy
-                    orig_h -= dy
-                    orig_w -= dx
-                    orig_x, dist_x = max(dx, 0), max(-dx, 0)
-                    orig_y, dist_y = max(dy, 0), max(-dy, 0)
-                    distorted = np.zeros((int(orig_h), int(orig_w), 3),
-                                         np.float32)
-                    distorted[dist_y:, dist_x:, :] = im[orig_y:, orig_x:, :]
-                    im = distorted
-                if self._rng.randint(2) > 0.5:
-                    im = im[:, ::-1, :]
-                    gt_bbox[:, 0] = orig_w - 1 - gt_bbox[:, 0]
+                im, gt_bbox, orig_w, orig_h, _, _ = self._augment(
+                    gt_bbox, orig_w, orig_h, im)
 
             images[bi] = cv2.resize(im, (mc.image_width, mc.image_height))
             gt_bbox[:, 0::2] *= mc.image_width / orig_w
             gt_bbox[:, 1::2] *= mc.image_height / orig_h
 
+            if len(gt_bbox) > max_gt:
+                self._warn_truncated_gt(idx, len(gt_bbox), max_gt)
             n = min(len(gt_bbox), max_gt)
             gt_out[bi, :n] = gt_bbox[:n]
             labels_out[bi, :n] = np.asarray(labels[:n], np.int32)
@@ -310,32 +320,18 @@ class Imdb:
                 [[box[0], box[1], box[2], box[3]]
                  for box in self._rois[idx][:]])
 
-            dx = dy = 0
+            dxdy = (0, 0)
             flip = False
             if mc.data_augmentation:
-                if mc.drift_x > 0 or mc.drift_y > 0:
-                    max_drift_x = min(gt_bbox[:, 0] - gt_bbox[:, 2] / 2.0
-                                      + 1)
-                    max_drift_y = min(gt_bbox[:, 1] - gt_bbox[:, 3] / 2.0
-                                      + 1)
-                    dy = self._rng.randint(-mc.drift_y,
-                                           min(mc.drift_y + 1,
-                                               max_drift_y))
-                    dx = self._rng.randint(-mc.drift_x,
-                                           min(mc.drift_x + 1,
-                                               max_drift_x))
-                    gt_bbox[:, 0] -= dx
-                    gt_bbox[:, 1] -= dy
-                    orig_h -= dy
-                    orig_w -= dx
-                flip = self._rng.randint(2) > 0.5
-                if flip:
-                    gt_bbox[:, 0] = orig_w - 1 - gt_bbox[:, 0]
+                _, gt_bbox, orig_w, orig_h, dxdy, flip = self._augment(
+                    gt_bbox, orig_w, orig_h, im=None)
 
-            drifts.append((dx, dy))
+            drifts.append(dxdy)
             flips.append(flip)
             gt_bbox[:, 0::2] *= mc.image_width / orig_w
             gt_bbox[:, 1::2] *= mc.image_height / orig_h
+            if len(gt_bbox) > max_gt:
+                self._warn_truncated_gt(idx, len(gt_bbox), max_gt)
             n = min(len(gt_bbox), max_gt)
             gt_out[bi, :n] = gt_bbox[:n]
             labels_out[bi, :n] = np.asarray(labels[:n], np.int32)

@@ -48,18 +48,14 @@ def load_params(det, checkpoint: str):
 
     if os.path.isdir(checkpoint):
         template_params, _, _ = det.init(jax.random.key(0))
-        if latest_step(checkpoint) is not None:
-            from squeezedet_tpu.optim import build_optimizer
-            from squeezedet_tpu.trainer import TrainState
-            _, mask, _ = det.init(jax.random.key(0))
-            tx = build_optimizer(det.cfg, mask)
-            template = TrainState(params=template_params,
-                                  opt_state=tx.init(template_params)
-                                  ).as_tree()
+        step = latest_step(checkpoint)
+        if step is not None:
+            # params-only restore: inference never needs optimizer state
+            # (reference Saver(model.model_params), eval.py:205)
             mgr = CheckpointManager(checkpoint)
-            step, state = mgr.restore_latest(template)
+            params = mgr.restore_params(step, template_params)
             print('Restored step {} from {}'.format(step, checkpoint))
-            return state['params']
+            return params
         raise FileNotFoundError(
             'No model.ckpt-<step> directories in {}'.format(checkpoint))
     # legacy single-file formats -> re-init with pretrained weights

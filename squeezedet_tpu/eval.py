@@ -162,7 +162,6 @@ def main(argv=None):
     from squeezedet_tpu.data import Kitti
     from squeezedet_tpu.models import get_model
     from squeezedet_tpu.summary import SummaryWriter
-    from squeezedet_tpu.trainer import TrainState
 
     if args.image_width or args.image_height:
         from squeezedet_tpu.config.kitti import custom_kitti_config
@@ -186,13 +185,9 @@ def main(argv=None):
     os.makedirs(args.eval_dir, exist_ok=True)
     writer = SummaryWriter(args.eval_dir)
 
-    # structure template for orbax restore (params only are consumed,
-    # mirroring Saver(model.model_params), eval.py:205)
-    params0, mask, _ = det.init(jax.random.key(0))
-    from squeezedet_tpu.optim import build_optimizer
-    tx = build_optimizer(cfg, mask)
-    template = TrainState(params=params0, opt_state=tx.init(params0)
-                          ).as_tree()
+    # params-only restore template — an inference job never touches
+    # optimizer state, mirroring Saver(model.model_params), eval.py:205
+    params0, _, _ = det.init(jax.random.key(0))
 
     ckpt = CheckpointManager(args.checkpoint_path)
     seen = set()
@@ -215,8 +210,8 @@ def main(argv=None):
             continue
         seen.add(step)
         print('Evaluating step {}...'.format(step))
-        state = ckpt.restore(step, template)
-        eval_checkpoint(det, imdb, state['params'], step,
+        params = ckpt.restore_params(step, params0)
+        eval_checkpoint(det, imdb, params, step,
                         eval_dir=args.eval_dir,
                         batch_size=args.eval_batch_size,
                         summary_writer=writer,

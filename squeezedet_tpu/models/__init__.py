@@ -88,6 +88,43 @@ class Detector:
         """Inference graph: forward + interpretation (jit this)."""
         return self.interpret(self.forward(params, images, train=False))
 
+    def activation_stats(self, params, images, sample: int = 65536):
+        """Five-stat activation summary data per layer
+        (nn_skeleton.py:736-755): {layer: {'sample', 'sparsity', 'mean',
+        'max', 'min'}}.  Everything is reduced on device; 'sample' is a
+        uniform-stride subsample (<= ``sample`` elements) for the host
+        histogram writer, so the transfer stays small at any batch size.
+        Also includes the decoded box coordinates ('det_boxes/<coord>'),
+        which the reference instruments at nn_skeleton.py:203-233.
+        """
+        fn = getattr(self, "_act_stats_fn", None)
+        if fn is None:
+            def build(params, images):
+                dtype = jnp.dtype(self.cfg.compute_dtype)
+                tape = {}
+                preds = self.backbone.apply(
+                    params, images.astype(dtype), self.cfg, train=False,
+                    tape=tape)
+                interp = self.interpret(preds.astype(jnp.float32))
+                for i, coord in enumerate(("cx", "cy", "w", "h")):
+                    tape["det_boxes/" + coord] = interp.det_boxes[..., i]
+                out = {}
+                for name, act in tape.items():
+                    flat = act.reshape(-1).astype(jnp.float32)
+                    stride = max(1, flat.shape[0] // sample)
+                    out[name] = {
+                        "sample": flat[::stride],
+                        "sparsity": jnp.mean((flat == 0.0)
+                                             .astype(jnp.float32)),
+                        "mean": jnp.mean(flat),
+                        "max": jnp.max(flat),
+                        "min": jnp.min(flat),
+                    }
+                return out
+            fn = jax.jit(build)
+            object.__setattr__(self, "_act_stats_fn", fn)
+        return jax.device_get(fn(params, images))
+
     # -- loss ---------------------------------------------------------------
     def loss(self, params, images, targets: Targets, rng=None,
              train: bool = True) -> LossBreakdown:
@@ -171,7 +208,7 @@ class Detector:
         return filter_prediction_device(
             interp.det_boxes, interp.det_probs, interp.det_class,
             top_n=cfg.top_n_detection, nms_thresh=cfg.nms_thresh,
-            num_classes=cfg.classes)
+            num_classes=cfg.classes, prob_thresh=cfg.prob_thresh)
 
 
 def get_model(net: str, cfg: Optional[ModelConfig] = None) -> Detector:

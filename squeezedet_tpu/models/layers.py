@@ -257,6 +257,18 @@ def conv_bn(params: Params, x, stride: int, *, padding: str = "SAME",
 # Pooling / dropout / fire
 # ---------------------------------------------------------------------------
 
+def record(tape, name: str, activation) -> None:
+    """Store a layer activation in ``tape`` (a dict) when tracing for
+    activation summaries; no-op (and zero graph cost) when tape is None.
+    Concat-free fire pairs are materialized as their virtual concat only
+    on the summary path."""
+    if tape is None:
+        return
+    if isinstance(activation, tuple):
+        activation = jnp.concatenate(activation, axis=-1)
+    tape[name] = activation
+
+
 def max_pool(x, size: int, stride: int, padding: str = "SAME"):
     """tf.nn.max_pool equivalent via reduce_window."""
     return jax.lax.reduce_window(

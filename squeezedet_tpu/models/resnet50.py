@@ -99,9 +99,11 @@ def init(rng, cfg, pretrained=None):
     return params, mask, tracer
 
 
-def apply(params, images, cfg, *, train: bool = False, rng=None):
+def apply(params, images, cfg, *, train: bool = False, rng=None,
+          tape=None):
     eps = cfg.batch_norm_epsilon
     x = L.conv_bn(params["conv1"], images, 2, eps=eps)
+    L.record(tape, "conv1", x)
     x = L.max_pool(x, 3, 2, "VALID")
 
     for stage, blocks, _, _, _ in _STAGES:
@@ -117,6 +119,9 @@ def apply(params, images, cfg, *, train: bool = False, rng=None):
                 shortcut = x
             x = jnp.maximum(shortcut + _apply_branch(p["branch2"], x, down,
                                                      eps), 0)
+            L.record(tape, name, x)
 
     x = L.dropout(x, cfg.keep_prob, rng, train)
-    return L.conv2d(params["conv5"], x, 1, relu=False)
+    out = L.conv2d(params["conv5"], x, 1, relu=False)
+    L.record(tape, "conv5", out)
+    return out

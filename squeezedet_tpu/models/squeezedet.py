@@ -53,22 +53,32 @@ def init(rng, cfg, pretrained=None):
     return params, mask, tracer
 
 
-def apply(params, images, cfg, *, train: bool = False, rng=None):
+def apply(params, images, cfg, *, train: bool = False, rng=None,
+          tape=None):
     """Forward pass: [B, H, W, 3] BGR mean-subtracted -> ConvDet preds.
 
     Fire expand concats are never materialized: each fire carries its
     (expand1x1, expand3x3) halves and downstream 1x1/3x3 convs split
     their kernels instead (layers.conv2d_pair) — bit-identical to the
-    concat formulation, -14% wall time on v5e."""
+    concat formulation, -14% wall time on v5e.
+
+    ``tape``: optional dict; when given, each stage's activation is
+    recorded under its layer name (for the five-stat activation
+    summaries, nn_skeleton.py:736-755).  Zero cost when None.
+    """
     x = L.conv2d(params["conv1"], images, 2)
+    L.record(tape, "conv1", x)
     x = L.max_pool(x, 3, 2, "SAME")
     pair = x
     for name, _, _, _ in _FIRES:
         pool = (3, 2) if name in _POOL_AFTER else None
         pair = L.fire_pair(params[name], pair, pool=pool)
+        L.record(tape, name, pair)
     if train and cfg.keep_prob < 1.0:
         r1, r2 = jax.random.split(rng)
         pair = (L.dropout(pair[0], cfg.keep_prob, r1, train),
                 L.dropout(pair[1], cfg.keep_prob, r2, train))
-    return L.conv2d_pair(params["conv12"], pair[0], pair[1], 1,
-                         relu=False)
+    out = L.conv2d_pair(params["conv12"], pair[0], pair[1], 1,
+                        relu=False)
+    L.record(tape, "conv12", out)
+    return out

@@ -48,19 +48,24 @@ def init(rng, cfg, pretrained=None):
     return params, mask, tracer
 
 
-def apply(params, images, cfg, *, train: bool = False, rng=None):
+def apply(params, images, cfg, *, train: bool = False, rng=None,
+          tape=None):
     """Concat-free fire chain (see squeezedet.apply); pools are VALID
     here but pooling still commutes with the virtual concat."""
     x = L.conv2d(params["conv1"], images, 2, padding="VALID")
+    L.record(tape, "conv1", x)
     x = L.max_pool(x, 3, 2, "VALID")
     pair = x
     for name, _, _, _ in _FIRES:
         pool = (3, 2) if name in _POOL_AFTER else None
         pair = L.fire_pair(params[name], pair, pool=pool,
                            padding="VALID")
+        L.record(tape, name, pair)
     if train and cfg.keep_prob < 1.0:
         r1, r2 = jax.random.split(rng)
         pair = (L.dropout(pair[0], cfg.keep_prob, r1, train),
                 L.dropout(pair[1], cfg.keep_prob, r2, train))
-    return L.conv2d_pair(params["conv12"], pair[0], pair[1], 1,
-                         relu=False)
+    out = L.conv2d_pair(params["conv12"], pair[0], pair[1], 1,
+                        relu=False)
+    L.record(tape, "conv12", out)
+    return out

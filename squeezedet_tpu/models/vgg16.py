@@ -42,11 +42,15 @@ def init(rng, cfg, pretrained=None):
     return params, mask, tracer
 
 
-def apply(params, images, cfg, *, train: bool = False, rng=None):
+def apply(params, images, cfg, *, train: bool = False, rng=None,
+          tape=None):
     x = images
     for name, _, _ in _CONVS:
         x = L.conv2d(params[name], x, 1)
+        L.record(tape, name, x)
         if name in _POOL_AFTER:
             x = L.max_pool(x, 2, 2, "SAME")
     x = L.dropout(x, cfg.keep_prob, rng, train)
-    return L.conv2d(params["conv6"], x, 1, relu=False)
+    out = L.conv2d(params["conv6"], x, 1, relu=False)
+    L.record(tape, "conv6", out)
+    return out

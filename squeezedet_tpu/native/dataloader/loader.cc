@@ -87,10 +87,15 @@ int RunBatch(const std::vector<Job>& jobs, int out_w, int out_h,
   std::atomic<int> status(0);
   const size_t stride = static_cast<size_t>(out_w) * out_h * 3;
 
+  // cv::setNumThreads is process-global, not per-thread: disable
+  // OpenCV-internal parallelism for the pool's duration (so the pool
+  // scales with images, not within one image) and restore the previous
+  // value afterwards — other cv2 users in the process (demo, viz, the
+  // Python fallback path) must keep their parallelism.
+  const int prev_cv_threads = cv::getNumThreads();
+  cv::setNumThreads(0);
+
   auto worker = [&]() {
-    // OpenCV's own parallelism is disabled per worker thread so the
-    // pool scales with images, not within one image.
-    cv::setNumThreads(0);
     for (;;) {
       const int i = next.fetch_add(1);
       if (i >= n) break;
@@ -106,6 +111,7 @@ int RunBatch(const std::vector<Job>& jobs, int out_w, int out_h,
   pool.reserve(t);
   for (int i = 0; i < t; ++i) pool.emplace_back(worker);
   for (auto& th : pool) th.join();
+  cv::setNumThreads(prev_cv_threads);
   return status.load();
 }
 

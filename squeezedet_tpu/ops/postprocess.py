@@ -45,7 +45,8 @@ def _pairwise_iou_center(boxes):
     return inter / jnp.maximum(union, 1e-12)
 
 
-def _filter_one(boxes, probs, cls_idx, *, top_n: int, nms_thresh: float):
+def _filter_one(boxes, probs, cls_idx, *, top_n: int, nms_thresh: float,
+                prob_thresh: float = None):
     """Single image: [A, 4], [A], [A] -> top_n-shaped results."""
     top_probs, order = jax.lax.top_k(probs, top_n)  # descending
     top_boxes = jnp.take(boxes, order, axis=0)
@@ -58,18 +59,28 @@ def _filter_one(boxes, probs, cls_idx, *, top_n: int, nms_thresh: float):
                < jax.lax.broadcasted_iota(jnp.int32, (k, k), 1))
     suppressed = jnp.any(
         (iou_mat > nms_thresh) & same_class & earlier, axis=0)
-    return top_boxes, top_probs, top_cls, ~suppressed
+    keep = ~suppressed
+    if prob_thresh is not None:
+        keep = keep & (top_probs > prob_thresh)
+    return top_boxes, top_probs, top_cls, keep
 
 
-@partial(jax.jit, static_argnames=("top_n", "nms_thresh", "num_classes"))
+@partial(jax.jit, static_argnames=("top_n", "nms_thresh", "num_classes",
+                                   "prob_thresh"))
 def filter_prediction_device(boxes, probs, cls_idx, *, top_n: int,
-                             nms_thresh: float, num_classes: int):
+                             nms_thresh: float, num_classes: int,
+                             prob_thresh: float = 0.0):
     """Batched on-device postprocess.
 
     Args:
       boxes: [B, A, 4] decoded center-format boxes.
       probs: [B, A] per-anchor max class scores.
       cls_idx: [B, A] int32 class indices.
+      prob_thresh: applied only when every anchor is a candidate
+        (top_n >= A): the host reference switches from top-N selection
+        to ``probs > PROB_THRESH`` filtering there (nn_skeleton.py:
+        711-720), so the device path must drop near-zero candidates the
+        same way on small configs.
 
     Returns:
       (boxes [B, K, 4], probs [B, K], classes [B, K], keep [B, K] bool),
@@ -77,10 +88,13 @@ def filter_prediction_device(boxes, probs, cls_idx, *, top_n: int,
     """
     del num_classes  # suppression is same-class-pairwise; count not needed
     # tiny configs can have fewer anchors than TOP_N_DETECTION
-    top_n = min(top_n, boxes.shape[1])
+    num_anchors = boxes.shape[1]
+    thresh = prob_thresh if top_n >= num_anchors else None
+    top_n = min(top_n, num_anchors)
     return jax.vmap(
         lambda b, p, c: _filter_one(b, p, c, top_n=top_n,
-                                    nms_thresh=nms_thresh)
+                                    nms_thresh=nms_thresh,
+                                    prob_thresh=thresh)
     )(boxes, probs, cls_idx)
 
 

@@ -32,6 +32,16 @@ class SummaryWriter:
         with self._writer.as_default():
             self._tf.summary.scalar(tag, value, step=step)
 
+    def histogram(self, tag: str, values, step: int,
+                  buckets: Optional[int] = None):
+        """Value-distribution summary (reference nn_skeleton.py:353-358
+        per-variable/per-gradient histograms, :736-755 activations)."""
+        if self._writer is None:
+            return
+        with self._writer.as_default():
+            self._tf.summary.histogram(tag, np.asarray(values), step=step,
+                                       buckets=buckets)
+
     def image(self, tag: str, images: np.ndarray, step: int,
               max_outputs: int = 20):
         """images: [N, H, W, 3] RGB uint8/float."""

@@ -65,6 +65,14 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument('--profile_steps', default='',
                    help="Capture a jax profiler trace, e.g. '20:25' "
                         "traces steps 20..24 into <train_dir>/profile.")
+    p.add_argument('--histogram_step', type=int, default=0,
+                   help='Emit per-variable and per-gradient histograms '
+                        'every N steps (0 = off; the reference emits '
+                        'them with every summary, nn_skeleton.py:353-358).')
+    p.add_argument('--activation_summary', action='store_true',
+                   help='Also emit five-stat activation summaries '
+                        '(histogram/sparsity/mean/max/min per layer, '
+                        'nn_skeleton.py:736-755) on histogram steps.')
     return p
 
 
@@ -131,7 +139,9 @@ def main(argv=None):
           checkpoint_step=args.checkpoint_step, seed=args.seed, mesh=mesh,
           resume=not args.no_resume, summary_writer=writer,
           viz_step=args.summary_step, step_tracer=step_tracer,
-          device_assign=args.device_assign)
+          device_assign=args.device_assign,
+          histogram_step=args.histogram_step,
+          activation_summary=args.activation_summary)
     writer.close()
 
 

@@ -155,13 +155,51 @@ def viz_prediction_images(det: Detector, params, images_np, targets,
     return np.stack(out) if out else np.zeros((0, 1, 1, 3), np.uint8)
 
 
+def _summary_tag(path) -> str:
+    """Pytree key path -> 'conv1/kernel'-style summary tag."""
+    parts = []
+    for entry in path:
+        key = getattr(entry, "key", None)
+        parts.append(str(key if key is not None else entry))
+    return "/".join(parts)
+
+
+def write_histograms(summary_writer, params, grads, step: int):
+    """Per-variable + per-gradient histograms (nn_skeleton.py:353-358)."""
+    from jax.tree_util import tree_flatten_with_path
+
+    for prefix, tree in (("params", params), ("gradients", grads)):
+        if tree is None:
+            continue
+        for path, leaf in tree_flatten_with_path(tree)[0]:
+            summary_writer.histogram(
+                "{}/{}".format(prefix, _summary_tag(path)),
+                np.asarray(leaf), step)
+
+
+def write_activation_summaries(summary_writer, det: Detector, params,
+                               images_np, step: int):
+    """Five-stat activation summaries — histogram, sparsity, mean, max,
+    min per layer (nn_skeleton.py:736-755).  Stats reduce on device; the
+    histogram uses a uniform-stride subsample of the activation."""
+    stats = det.activation_stats(params, jnp.asarray(images_np))
+    for name, s in stats.items():
+        summary_writer.histogram("activations/" + name, s["sample"], step)
+        for stat in ("sparsity", "mean", "max", "min"):
+            summary_writer.scalar(
+                "activation_summary/{}/{}".format(name, stat),
+                float(s[stat]), step)
+
+
 def train(det: Detector, imdb, *, train_dir: str, max_steps: int,
           summary_step: int = 10, checkpoint_step: int = 1000,
           seed: int = 0, mesh=None, resume: bool = True,
           summary_writer=None, log_every: int = 10,
           pretrained: Optional[dict] = None,
           viz_step: int = 0, step_tracer=None,
-          device_assign: bool = False, max_gt: int = 48) -> TrainState:
+          device_assign: bool = False, max_gt: int = 48,
+          histogram_step: int = 0,
+          activation_summary: bool = False) -> TrainState:
     """Full training loop (reference train.py:102-335)."""
     cfg = det.cfg
     os.makedirs(train_dir, exist_ok=True)
@@ -194,6 +232,38 @@ def train(det: Detector, imdb, *, train_dir: str, max_steps: int,
         train_step = make_train_step_device(det, tx, mesh=mesh)
     else:
         train_step = make_train_step(det, tx, mesh=mesh)
+
+    # viz/histograms under --device_assign need dense Targets; rebuild
+    # them from the raw batch with the same device matcher the step uses.
+    viz_assign = None
+    if device_assign and (viz_step or histogram_step):
+        from squeezedet_tpu.data.device_pipeline import (
+            assign_anchors_device)
+        anchors_const = jnp.asarray(cfg.anchor_box, jnp.float32)
+        viz_assign = jax.jit(partial(assign_anchors_device,
+                                     num_classes=cfg.classes))
+
+    # gradient histograms recompute grads with a separate jitted fn on
+    # histogram steps only (the fast-path step never returns grads);
+    # grads are taken at the post-update params of the same batch.
+    grad_fn = None
+
+    def _make_grad_fn():
+        if device_assign:
+            def gf(p, images, gt_boxes, gt_labels, num_gt, rng):
+                from squeezedet_tpu.data.device_pipeline import (
+                    assign_anchors_device as assign)
+                tg = assign(anchors_const, gt_boxes, gt_labels, num_gt,
+                            cfg.classes)
+                return jax.grad(
+                    lambda q: det.loss(q, images, tg, rng=rng,
+                                       train=True).total)(p)
+        else:
+            def gf(p, images, targets, rng):
+                return jax.grad(
+                    lambda q: det.loss(q, images, targets, rng=rng,
+                                       train=True).total)(p)
+        return jax.jit(gf)
 
     loader = PrefetchLoader(imdb, device_targets=device_assign,
                             max_gt=max_gt).start()
@@ -248,12 +318,30 @@ def train(det: Detector, imdb, *, train_dir: str, max_steps: int,
                 summary_writer.scalar("mean_iou", float(lb.mean_iou), step)
                 summary_writer.scalar("learning_rate",
                                       learning_rate_at(cfg, step), step)
-                if viz_step and step % viz_step == 0 and \
-                        targets is not None:
-                    ims = viz_prediction_images(
-                        det, params, np.asarray(images), targets)
-                    summary_writer.image("sample_detection_results", ims,
-                                         step, max_outputs=cfg.batch_size)
+                if viz_step and step % viz_step == 0:
+                    if targets is None and viz_assign is not None:
+                        targets = viz_assign(anchors_const, batch[1],
+                                             batch[2], batch[3])
+                    if targets is not None:
+                        ims = viz_prediction_images(
+                            det, params, np.asarray(images), targets)
+                        summary_writer.image(
+                            "sample_detection_results", ims, step,
+                            max_outputs=cfg.batch_size)
+            if summary_writer is not None and histogram_step and \
+                    step % histogram_step == 0:
+                if grad_fn is None:
+                    grad_fn = _make_grad_fn()
+                if device_assign:
+                    grads = grad_fn(params, *batch, step_rng)
+                else:
+                    grads = grad_fn(params, images, targets, step_rng)
+                write_histograms(summary_writer, jax.device_get(params),
+                                 jax.device_get(grads), step)
+                if activation_summary:
+                    write_activation_summaries(
+                        summary_writer, det, params, np.asarray(images),
+                        step)
             if do_log:
                 duration = time.time() - start_time
                 print('%s: step %d, loss = %.2f (%.1f images/sec; %.3f '
@@ -262,6 +350,14 @@ def train(det: Detector, imdb, *, train_dir: str, max_steps: int,
                 sys.stdout.flush()
 
             if step % checkpoint_step == 0 or (step + 1) == max_steps:
+                # divergence gate independent of the logging cadence: a
+                # NaN state must never be checkpointed (and then auto-
+                # resumed from); the reference checks every step
+                # (train.py:313-315), we check at least before each save.
+                ckpt_loss = float(lb.total)
+                assert np.isfinite(ckpt_loss), (
+                    'Model diverged (loss = {}); refusing to checkpoint '
+                    'at step {}'.format(ckpt_loss, step))
                 state = TrainState(params=jax.device_get(params),
                                    opt_state=jax.device_get(opt_state),
                                    step=step + 1)

@@ -127,3 +127,24 @@ def test_hard_example_exclusion(kitti_root):
     finally:
         with open(lbl, "w") as f:
             f.write(orig)
+
+
+def test_augmentation_rng_call_order_parity(kitti_root, cfg):
+    """All readers share _augment, so with identical seeds the dense
+    path (read_batch) and the raw-targets path (read_batch_raw_targets)
+    must draw the same dy, dx, flip sequence and produce identical
+    scaled GT boxes and pixels."""
+    aug_cfg = cfg.replace(data_augmentation=True, drift_x=30, drift_y=20)
+    db_a = Kitti("train", kitti_root, aug_cfg, rng=np.random.RandomState(9))
+    db_b = Kitti("train", kitti_root, aug_cfg, rng=np.random.RandomState(9))
+    for _ in range(4):
+        imgs, labels, _, _, bboxes = db_a.read_batch(shuffle=False)
+        raw_imgs, gt, raw_labels, num_gt = db_b.read_batch_raw_targets(
+            shuffle=False)
+        for bi in range(len(imgs)):
+            n = int(num_gt[bi])
+            assert n == len(bboxes[bi])
+            np.testing.assert_allclose(gt[bi, :n], bboxes[bi], rtol=1e-6)
+            np.testing.assert_array_equal(
+                raw_labels[bi, :n], np.asarray(labels[bi], np.int32))
+            np.testing.assert_allclose(raw_imgs[bi], imgs[bi], atol=1e-5)

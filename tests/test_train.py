@@ -244,3 +244,84 @@ def test_restore_rejects_mismatched_checkpoint(cfg, tmp_path):
                           opt_state=tx2.init(params2)).as_tree()
     with pytest.raises(ValueError, match="shape mismatch"):
         mgr.restore(3, template)
+
+
+class _CapturingWriter:
+    """Summary-writer stub recording every emitted tag."""
+
+    def __init__(self):
+        self.scalars, self.images, self.histograms = {}, {}, {}
+
+    def scalar(self, tag, value, step):
+        self.scalars.setdefault(tag, []).append((step, value))
+
+    def image(self, tag, images, step, max_outputs=20):
+        self.images.setdefault(tag, []).append((step, np.asarray(images)))
+
+    def histogram(self, tag, values, step, buckets=None):
+        self.histograms.setdefault(tag, []).append(
+            (step, np.asarray(values)))
+
+
+def test_observability_histograms_and_device_assign_viz(
+        kitti_root, cfg, tmp_path):
+    """Per-variable/per-gradient histograms, five-stat activation
+    summaries, and detection-image viz under --device_assign
+    (nn_skeleton.py:353-358, :736-755, train.py:287-296)."""
+    det = get_model("squeezeDet", cfg)
+    db = Kitti("train", kitti_root, cfg, rng=np.random.RandomState(0))
+    writer = _CapturingWriter()
+    train(det, db, train_dir=str(tmp_path / "t"), max_steps=2,
+          checkpoint_step=10, summary_step=1, summary_writer=writer,
+          viz_step=1, device_assign=True, histogram_step=1,
+          activation_summary=True, log_every=1)
+
+    # viz images were produced despite device_assign (round-1 gap)
+    assert "sample_detection_results" in writer.images
+    ims = writer.images["sample_detection_results"][0][1]
+    assert ims.shape[0] >= 1 and ims.dtype == np.uint8
+
+    # per-variable + per-gradient histograms for every leaf
+    assert any(t.startswith("params/conv1") for t in writer.histograms)
+    assert any(t.startswith("gradients/conv12")
+               for t in writer.histograms)
+    n_param = sum(t.startswith("params/") for t in writer.histograms)
+    n_grad = sum(t.startswith("gradients/") for t in writer.histograms)
+    assert n_param == n_grad > 10
+
+    # five-stat activation summaries: histogram + 4 scalars per layer
+    act_tags = [t for t in writer.histograms if t.startswith("activations/")]
+    assert "activations/conv1" in act_tags
+    assert "activations/fire2" in act_tags
+    assert "activations/det_boxes/cx" in act_tags
+    for stat in ("sparsity", "mean", "max", "min"):
+        assert "activation_summary/conv1/{}".format(stat) in writer.scalars
+    # sparsity of a relu layer is a sane fraction
+    s = writer.scalars["activation_summary/conv1/sparsity"][0][1]
+    assert 0.0 <= s <= 1.0
+
+
+def test_restore_params_only(cfg, tmp_path):
+    """Inference restore needs no optimizer-state template (reference
+    Saver(model.model_params), eval.py:205)."""
+    from squeezedet_tpu.checkpoint.manager import CheckpointManager
+    det = get_model("squeezeDet", cfg)
+    params, mask, _ = det.init(jax.random.key(0))
+    tx = build_optimizer(cfg, mask)
+    mgr = CheckpointManager(str(tmp_path / "ck"))
+    mgr.save(7, TrainState(params=params, opt_state=tx.init(params),
+                           step=7).as_tree())
+
+    template, _, _ = det.init(jax.random.key(1))  # different values
+    restored = mgr.restore_params(7, template)
+    np.testing.assert_array_equal(
+        np.asarray(restored["conv1"]["kernel"]),
+        np.asarray(params["conv1"]["kernel"]))
+
+    # shape validation still applies
+    other_cfg = tiny_test_config(net="squeezeDet+", image_width=96,
+                                 image_height=96)
+    det2 = get_model("squeezeDet+", other_cfg)
+    params2, _, _ = det2.init(jax.random.key(0))
+    with pytest.raises(Exception):
+        mgr.restore_params(7, params2)

@@ -20,6 +20,36 @@ from typing import Dict, List
 import numpy as np
 
 
+class TrackedWeights(dict):
+    """Pretrained-weight dict that records which entries were consumed,
+    so a cold start can warn about checkpoint weights that matched no
+    model layer (a silent drop would leave layers at random init)."""
+
+    def __init__(self, data):
+        super().__init__(data)
+        self.consumed = set()
+
+    def __getitem__(self, key):
+        self.consumed.add(key)
+        return super().__getitem__(key)
+
+    def unconsumed(self):
+        return sorted(set(self.keys()) - self.consumed)
+
+
+def warn_unconsumed(weights) -> List[str]:
+    """Print (and return) the entries of a TrackedWeights never read by
+    any layer constructor — typically a --net mismatch or a naming-map
+    gap (cf. reference nn_skeleton.py:404-439 which silently skips)."""
+    if not isinstance(weights, TrackedWeights):
+        return []
+    leftover = weights.unconsumed()
+    if leftover:
+        print('WARNING: {} pretrained entries matched no model layer and '
+              'were ignored: {}'.format(len(leftover), ', '.join(leftover)))
+    return leftover
+
+
 def load_pretrained(path: str) -> Dict[str, List[np.ndarray]]:
     """Load either a joblib pkl or a TF1 checkpoint into the caffe-pkl
     layout ({name: [kernel OIHW, bias]})."""
@@ -50,6 +80,7 @@ def load_tf1_checkpoint(path: str) -> Dict[str, List[np.ndarray]]:
     shapes = reader.get_variable_to_shape_map()
     out: Dict[str, List[np.ndarray]] = {}
     bn_parts: Dict[str, Dict[str, np.ndarray]] = {}
+    unmapped = []
     for var in shapes:
         scope, _, leaf = var.rpartition("/")
         if leaf == "kernels":
@@ -60,6 +91,14 @@ def load_tf1_checkpoint(path: str) -> Dict[str, List[np.ndarray]]:
             out.setdefault(scope, [None, None])[1] = reader.get_tensor(var)
         elif leaf in ("gamma", "beta", "mean", "var"):
             bn_parts.setdefault(scope, {})[leaf] = reader.get_tensor(var)
+        elif leaf != "Momentum" and var not in ("global_step", "iou"):
+            # anything else (beyond known optimizer/bookkeeping slots)
+            # means the naming contract above missed a weight
+            unmapped.append(var)
+    if unmapped:
+        print('WARNING: {} checkpoint variables do not follow the '
+              'kernels/biases/BN naming contract and were dropped: '
+              '{}'.format(len(unmapped), ', '.join(sorted(unmapped))))
 
     # Re-emit BN pieces in the pkl layout the init code expects:
     #   pretrained[bn_name]    = [mean, var]
@@ -70,6 +109,9 @@ def load_tf1_checkpoint(path: str) -> Dict[str, List[np.ndarray]]:
     # <-> scale 'scale2a_branch1').
     for scope, parts in bn_parts.items():
         if not {"mean", "var", "gamma", "beta"} <= set(parts):
+            print('WARNING: incomplete batch-norm group at scope {!r} '
+                  '(found only {}); its weights were dropped'.format(
+                      scope, sorted(parts)))
             continue
         if scope.startswith("res"):
             stem = scope[len("res"):]

@@ -45,6 +45,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help='Override input height (0 = model default).')
     p.add_argument('--native_loader', action='store_true',
                    help='Use the C++ threaded batch loader for image IO.')
+    p.add_argument('--plot_pr', action='store_true',
+                   help='Render recall/precision curve images from the '
+                        'scorer plot data (matplotlib stand-in for the '
+                        'reference gnuplot path, evaluate_object.cpp:583).')
     return p
 
 
@@ -107,13 +111,18 @@ def detect_all(det, imdb, params, batch_size: int):
 
 def eval_checkpoint(det, imdb, params, global_step, *, eval_dir,
                     batch_size=1, summary_writer=None,
-                    skip_analysis=False):
+                    skip_analysis=False, plot_pr=False):
     """Score one checkpoint (reference eval_once, eval.py:48-134)."""
     all_boxes, num_detection, timers = detect_all(det, imdb, params,
                                                   batch_size)
     print('Evaluating detections...')
     aps, ap_names = imdb.evaluate_detections(eval_dir, global_step,
                                              all_boxes)
+    if plot_pr:
+        from squeezedet_tpu.utils.plots import render_pr_curves
+        rendered = render_pr_curves(os.path.join(
+            eval_dir, 'detection_files_{}'.format(global_step)))
+        print('Rendered {} PR-curve images'.format(len(rendered)))
     num_images = len(imdb.image_idx)
 
     print('Evaluation summary:')
@@ -215,7 +224,8 @@ def main(argv=None):
                         eval_dir=args.eval_dir,
                         batch_size=args.eval_batch_size,
                         summary_writer=writer,
-                        skip_analysis=args.skip_analysis)
+                        skip_analysis=args.skip_analysis,
+                        plot_pr=args.plot_pr)
         if args.run_once:
             return
 

@@ -60,11 +60,26 @@ class Detector:
 
     # -- parameters ---------------------------------------------------------
     def init(self, rng, pretrained: Optional[dict] = None):
-        """Returns (params, trainable_mask, tracer)."""
+        """Returns (params, trainable_mask, tracer).
+
+        With pretrained weights, every dropped entry is reported: layer
+        constructors print the layers left at random init, and entries
+        that matched no layer are listed afterwards (a silent drop here
+        means a --net/naming mismatch, weak spot of the reference's
+        importer, nn_skeleton.py:404-439).
+        """
         if pretrained is None and self.cfg.load_pretrained_model and \
                 self.cfg.pretrained_model_path:
             from squeezedet_tpu.checkpoint.importer import load_pretrained
             pretrained = load_pretrained(self.cfg.pretrained_model_path)
+        if pretrained is not None:
+            from squeezedet_tpu.checkpoint.importer import (TrackedWeights,
+                                                            warn_unconsumed)
+            pretrained = TrackedWeights(pretrained)
+            result = self.backbone.init(rng, self.cfg,
+                                        pretrained=pretrained)
+            warn_unconsumed(pretrained)
+            return result
         return self.backbone.init(rng, self.cfg, pretrained=pretrained)
 
     # -- forward ------------------------------------------------------------

@@ -156,6 +156,9 @@ def init_conv(key, tracer: NetTracer, name: str, filters: int, size: int,
         else:
             print("Shape of the pretrained parameter of {} does not match, "
                   "use randomly initialized parameter".format(name))
+    elif pretrained is not None:
+        print("Cannot find {} in the pretrained model, use randomly "
+              "initialized parameter".format(name))
     if kernel is None:
         kkey, _ = jax.random.split(key)
         if xavier:

@@ -28,9 +28,13 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
 
     explicit = coordinator_address or os.environ.get(
         "JAX_COORDINATOR_ADDRESS")
-    tpu_pod = os.environ.get("TPU_WORKER_HOSTNAMES") or os.environ.get(
-        "MEGASCALE_COORDINATOR_ADDRESS")
-    if not explicit and not tpu_pod:
+    # TPU_WORKER_HOSTNAMES is set even on single-host TPU setups (e.g.
+    # 'localhost' under the axon plugin); only a multi-entry list means
+    # an actual pod.
+    hostnames = [h for h in os.environ.get(
+        "TPU_WORKER_HOSTNAMES", "").split(",") if h]
+    megascale = os.environ.get("MEGASCALE_COORDINATOR_ADDRESS")
+    if not explicit and not megascale and len(hostnames) <= 1:
         return False
     jax.distributed.initialize(
         coordinator_address=coordinator_address,

@@ -113,3 +113,68 @@ def test_full_model_tf1_roundtrip(tmp_path):
         np.testing.assert_allclose(np.asarray(new_by_path[key]),
                                    np.asarray(v), rtol=1e-6,
                                    err_msg=key)
+
+
+def test_importer_warns_on_unmapped_and_incomplete(tmp_path, capsys):
+    """Round-2 hardening: dropped checkpoint content must be loud —
+    variables outside the naming contract, incomplete BN groups, and
+    pretrained entries no model layer consumed."""
+    ckpt = str(tmp_path / "model.ckpt-1")
+    tf.compat.v1.reset_default_graph()
+    rng = np.random.RandomState(3)
+    with tf.compat.v1.Session() as sess:
+        tf.compat.v1.get_variable(
+            "conv1/kernels", initializer=rng.randn(3, 3, 3, 64)
+            .astype(np.float32))
+        tf.compat.v1.get_variable(
+            "conv1/biases", initializer=rng.randn(64).astype(np.float32))
+        # weight outside the kernels/biases/BN contract
+        tf.compat.v1.get_variable(
+            "conv9/weird_weight", initializer=rng.randn(4)
+            .astype(np.float32))
+        # incomplete BN group: gamma only
+        tf.compat.v1.get_variable(
+            "bnonly/gamma", initializer=rng.randn(8).astype(np.float32))
+        # optimizer slots must stay silent
+        tf.compat.v1.get_variable(
+            "conv1/kernels/Momentum", initializer=rng.randn(3, 3, 3, 64)
+            .astype(np.float32))
+        sess.run(tf.compat.v1.global_variables_initializer())
+        tf.compat.v1.train.Saver().save(sess, ckpt)
+
+    weights = load_tf1_checkpoint(ckpt)
+    out = capsys.readouterr().out
+    assert "conv9/weird_weight" in out
+    assert "incomplete batch-norm group" in out and "bnonly" in out
+    assert "Momentum" not in out
+
+    # model init: unconsumed pretrained entries + missing layers are loud
+    cfg = tiny_test_config()
+    det = get_model("squeezeDet", cfg)
+    weights["not_a_layer"] = [np.zeros((1, 1, 1, 1)), np.zeros(1)]
+    det.init(jax.random.key(0), pretrained=weights)
+    out = capsys.readouterr().out
+    assert "matched no model layer" in out and "not_a_layer" in out
+    assert "Cannot find fire2/squeeze1x1 in the pretrained model" in out
+
+
+def test_tf1_import_bn_names_beyond_res_family(tmp_path):
+    """BN synthesis for reference-style non-res scopes: conv scope
+    'conv1' maps to 'bn_conv1'/'scale_conv1' (caffe ResNet naming)."""
+    ckpt = str(tmp_path / "model.ckpt-2")
+    rng = np.random.RandomState(5)
+    tf.compat.v1.reset_default_graph()
+    with tf.compat.v1.Session() as sess:
+        tf.compat.v1.get_variable(
+            "conv1/kernels", initializer=rng.randn(7, 7, 3, 64)
+            .astype(np.float32))
+        for leaf in ("gamma", "beta", "mean", "var"):
+            tf.compat.v1.get_variable(
+                "conv1/" + leaf, initializer=rng.randn(64)
+                .astype(np.float32))
+        sess.run(tf.compat.v1.global_variables_initializer())
+        tf.compat.v1.train.Saver().save(sess, ckpt)
+    weights = load_tf1_checkpoint(ckpt)
+    assert "bn_conv1" in weights and "scale_conv1" in weights
+    assert len(weights["bn_conv1"]) == 2     # [mean, var]
+    assert len(weights["scale_conv1"]) == 2  # [gamma, beta]

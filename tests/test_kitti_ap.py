@@ -161,3 +161,20 @@ def test_neighboring_class_van_ignored(tmp_path):
     # van-matched det assigned-to-ignored -> neither TP nor FP; one gt ->
     # one threshold -> AP = 1/11 (0.5/11 if the van det counted as FP)
     assert results["car"][0] == pytest.approx(1 / 11)
+
+
+def test_render_pr_curves(tmp_path):
+    """Matplotlib PR rendering from scorer plot data (stand-in for the
+    reference's gnuplot pipeline, evaluate_object.cpp:583-643)."""
+    import numpy as np
+    from squeezedet_tpu.utils.plots import render_pr_curves
+    plot_dir = tmp_path / "plot"
+    plot_dir.mkdir()
+    x = np.linspace(0, 1, 41)
+    data = np.stack([x, 1 - x, 0.8 * (1 - x), 0.5 * (1 - x)], axis=1)
+    np.savetxt(str(plot_dir / "car_detection.txt"), data, fmt="%f")
+    np.savetxt(str(plot_dir / "car_orientation.txt"), data, fmt="%f")
+    written = render_pr_curves(str(tmp_path))
+    assert len(written) == 2
+    import os
+    assert all(os.path.getsize(p) > 1000 for p in written)

@@ -325,3 +325,62 @@ def test_restore_params_only(cfg, tmp_path):
     params2, _, _ = det2.init(jax.random.key(0))
     with pytest.raises(Exception):
         mgr.restore_params(7, params2)
+
+
+def test_mesh_train_matches_single_device(rng):
+    """K data-parallel steps on the 8-CPU mesh must match single-device
+    training numerically (same params, same loss trajectory) — XLA's
+    gradient psum over the mesh is exact up to reduction order."""
+    from squeezedet_tpu.parallel.mesh import (make_mesh,
+                                              replicated_sharding,
+                                              shard_batch)
+    cfg8 = tiny_test_config(image_width=96, image_height=96, batch_size=8)
+    det = get_model("squeezeDet", cfg8)
+    params, mask, _ = det.init(jax.random.key(0))
+    det.set_trainable_mask(mask)
+    tx = build_optimizer(cfg8, mask)
+    targets = _toy_targets(cfg8, rng)
+    images = jnp.asarray(
+        rng.randn(8, 96, 96, 3).astype(np.float32))
+
+    def run(mesh, steps=3):
+        p, o = params, tx.init(params)
+        step = make_train_step(det, tx, mesh=mesh, donate=False)
+        ims, tg = images, targets
+        if mesh is not None:
+            rep = replicated_sharding(mesh)
+            p = jax.device_put(p, rep)
+            o = jax.device_put(o, rep)
+            ims = shard_batch(mesh, ims)
+            tg = shard_batch(mesh, tg)
+        losses = []
+        for k in range(steps):
+            p, o, lb = step(p, o, ims, tg, jax.random.key(100 + k))
+            losses.append(float(lb.total))
+        return jax.device_get(p), losses
+
+    p1, losses1 = run(None)
+    p8, losses8 = run(make_mesh(8))
+    np.testing.assert_allclose(losses8, losses1, rtol=1e-5)
+    flat1 = jax.tree_util.tree_leaves(p1)
+    flat8 = jax.tree_util.tree_leaves(p8)
+    for a, b in zip(flat1, flat8):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_auto_mesh_and_multihost_noop():
+    from squeezedet_tpu.parallel.distributed import (initialize_multihost,
+                                                     is_primary_process)
+    from squeezedet_tpu.parallel.mesh import auto_mesh
+
+    # 8 virtual CPU devices (conftest): the largest device count that
+    # divides the batch wins; batch 1 cannot be sharded -> None
+    assert auto_mesh(16).devices.size == 8
+    assert auto_mesh(6).devices.size == 6
+    assert auto_mesh(7).devices.size == 7
+    assert auto_mesh(1) is None
+
+    # single-process environment: multihost init must be a clean no-op
+    assert initialize_multihost() is False
+    assert is_primary_process()

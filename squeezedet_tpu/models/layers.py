@@ -189,6 +189,50 @@ def conv2d(params: Params, x, stride: int, padding: str = "SAME",
     return y
 
 
+def space_to_depth(x):
+    """[B, H, W, C] -> [B, H/2, W/2, 4C]; channel order (py, px, c)."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
+
+
+def _s2d_kernel_3x3(kernel):
+    """[3, 3, C, O] stride-2 kernel -> [2, 2, 4C, O] block kernel whose
+    channel order matches :func:`space_to_depth`.  Taps beyond the 3x3
+    window are zero."""
+    _, _, c, o = kernel.shape
+    padded = jnp.zeros((4, 4, c, o), kernel.dtype).at[:3, :3].set(kernel)
+    # [dy, dx, c, o] -> [by, py, bx, px, c, o] -> [by, bx, (py px c), o]
+    padded = padded.reshape(2, 2, 2, 2, c, o)
+    return padded.transpose(0, 2, 1, 3, 4, 5).reshape(2, 2, 4 * c, o)
+
+
+def conv2d_s2d(params: Params, x, relu: bool = True):
+    """3x3 stride-2 SAME conv computed as a space-to-depth 2x2 stride-1
+    conv — bit-identical math, TPU-friendly shape.
+
+    A stride-2 conv with C_in=3 starves the MXU: the im2col contraction
+    is only 27 deep and strided loads waste half the sublanes.  Folding
+    a 2x2 pixel block into channels makes it a dense stride-1 conv with
+    a 48-deep contraction the MXU tiles cleanly (the standard MLPerf
+    ResNet frontend trick).  Requires even H and W.
+    """
+    kernel = _s2d_kernel_3x3(params["kernel"].astype(x.dtype))
+    # SAME for k=3 s2 on even dims pads (0, 1); one extra zero row/col
+    # makes the padded size even for the block reshape (the extra block
+    # only ever multiplies zero taps).
+    x = jnp.pad(x, ((0, 0), (0, 2), (0, 2), (0, 0)))
+    y = jax.lax.conv_general_dilated(
+        space_to_depth(x), kernel,
+        window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    y = y + params["bias"].astype(y.dtype)
+    if relu:
+        y = jnp.maximum(y, 0)
+    return y
+
+
 # ---------------------------------------------------------------------------
 # Conv + frozen-stats BatchNorm (reference _conv_bn_layer,
 # nn_skeleton.py:374-468).  Mean/var are constants (never trained), so the

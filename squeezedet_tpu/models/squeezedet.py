@@ -66,6 +66,10 @@ def apply(params, images, cfg, *, train: bool = False, rng=None,
     recorded under its layer name (for the five-stat activation
     summaries, nn_skeleton.py:736-755).  Zero cost when None.
     """
+    # NOTE: a space-to-depth frontend (L.conv2d_s2d, exact-parity
+    # tested) was measured at 30.8 ms vs 27.5 ms per batch-128 here:
+    # this backend's native strided MXU conv beats the block-conv plus
+    # its layout transpose, so the straightforward conv wins.
     x = L.conv2d(params["conv1"], images, 2)
     L.record(tape, "conv1", x)
     x = L.max_pool(x, 3, 2, "SAME")

@@ -67,3 +67,22 @@ def test_top_n_larger_than_anchor_count(rng):
         jnp.asarray(boxes)[None], jnp.asarray(probs)[None],
         jnp.asarray(cls)[None], top_n=64, nms_thresh=0.4, num_classes=3)
     assert db.shape == (1, 20, 4) and keep.shape == (1, 20)
+
+
+def test_negotiated_inference_fn_smoke():
+    """serving.negotiated_inference_fn compiles and runs (on CPU the
+    AUTO-layout negotiation may fall back to the default layout; either
+    branch must produce working inference)."""
+    import jax
+    import numpy as np
+    from squeezedet_tpu.config import tiny_test_config
+    from squeezedet_tpu.models import get_model
+    from squeezedet_tpu.serving import negotiated_inference_fn
+
+    cfg = tiny_test_config(image_width=64, image_height=64, batch_size=2)
+    det = get_model("squeezeDet", cfg)
+    params, _, _ = det.init(jax.random.key(0))
+    fn, fmt = negotiated_inference_fn(det, 2, params)
+    x = jax.device_put(np.zeros((2, 64, 64, 3), np.uint8), fmt)
+    boxes, probs, classes, keep = fn(params, x)
+    assert boxes.shape[0] == 2 and probs.shape == keep.shape

@@ -55,3 +55,27 @@ def shard_batch(mesh: Mesh, tree, axis_name: str = "data"):
     """Device-put a host batch pytree with its leading dim sharded."""
     sharding = batch_sharding(mesh, axis_name)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def shard_batch_multihost(mesh: Mesh, tree, axis_name: str = "data"):
+    """Multi-process variant of :func:`shard_batch`.
+
+    Each process passes its *local* slice of the batch (the data loader
+    on every host reads a disjoint shard); the result is a global array
+    whose leading dim spans all processes' shards over ``axis_name``.
+    Works single-process too (then it equals shard_batch).
+    """
+    sharding = batch_sharding(mesh, axis_name)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(
+            sharding, np.asarray(x)), tree)
+
+
+def replicate_multihost(mesh: Mesh, tree):
+    """Fully replicate a pytree over every device of a (possibly
+    multi-process) mesh; every process must pass the same values (e.g.
+    params built from one seed, or restored from one checkpoint)."""
+    sharding = replicated_sharding(mesh)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(
+            sharding, np.asarray(x)), tree)

@@ -269,10 +269,25 @@ def train(det: Detector, imdb, *, train_dir: str, max_steps: int,
                             max_gt=max_gt).start()
     try:
         params, opt_state = state.params, state.opt_state
+        multihost = jax.process_count() > 1
         if mesh is not None:
-            rep = replicated_sharding(mesh)
-            params = jax.device_put(params, rep)
-            opt_state = jax.device_put(opt_state, rep)
+            if multihost:
+                # multi-controller: params/opt replicated as global
+                # arrays (every process holds identical values — same
+                # seed or same restored checkpoint); each host's loader
+                # then feeds its own local shard of the global batch.
+                from squeezedet_tpu.parallel.mesh import (
+                    replicate_multihost, shard_batch_multihost)
+                params = replicate_multihost(mesh,
+                                             jax.device_get(params))
+                opt_state = replicate_multihost(
+                    mesh, jax.device_get(opt_state))
+                _shard_batch = shard_batch_multihost
+            else:
+                rep = replicated_sharding(mesh)
+                params = jax.device_put(params, rep)
+                opt_state = jax.device_put(opt_state, rep)
+                _shard_batch = shard_batch
         for step in range(state.step, max_steps):
             if step_tracer is not None:
                 step_tracer.on_step(step)
@@ -283,7 +298,7 @@ def train(det: Detector, imdb, *, train_dir: str, max_steps: int,
                 batch = (jnp.asarray(images), jnp.asarray(gt_boxes),
                          jnp.asarray(gt_labels), jnp.asarray(num_gt))
                 if mesh is not None:
-                    batch = shard_batch(mesh, batch)
+                    batch = _shard_batch(mesh, batch)
                 params, opt_state, lb = train_step(
                     params, opt_state, *batch, step_rng)
                 targets = None
@@ -291,8 +306,8 @@ def train(det: Detector, imdb, *, train_dir: str, max_steps: int,
                 images, targets = loader.get()
                 images = jnp.asarray(images)
                 if mesh is not None:
-                    images = shard_batch(mesh, images)
-                    targets = shard_batch(mesh, targets)
+                    images = _shard_batch(mesh, images)
+                    targets = _shard_batch(mesh, targets)
                 params, opt_state, lb = train_step(
                     params, opt_state, images, targets, step_rng)
 

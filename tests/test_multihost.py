@@ -1,0 +1,141 @@
+"""Real multi-process jax.distributed test: two CPU processes form a
+cluster through ``initialize_multihost`` (explicit coordinator), see
+each other's devices, and agree on a collective result.  This takes the
+multi-host path out of paper-only status without TPU pod hardware."""
+
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+_WORKER = r"""
+import sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 2)
+
+coordinator, pid = sys.argv[1], int(sys.argv[2])
+from squeezedet_tpu.parallel.distributed import (initialize_multihost,
+                                                 is_primary_process)
+ok = initialize_multihost(coordinator_address=coordinator,
+                          num_processes=2, process_id=pid)
+assert ok, "explicit coordinator must trigger initialization"
+assert jax.process_count() == 2
+assert jax.device_count() == 4, jax.device_count()
+assert jax.local_device_count() == 2
+assert is_primary_process() == (pid == 0)
+
+# collective agreement across processes: allgather of process ids
+import numpy as np
+from jax.experimental import multihost_utils
+gathered = multihost_utils.process_allgather(
+    np.asarray([jax.process_index()]))
+assert sorted(int(v) for v in gathered.ravel()) == [0, 1], gathered
+
+# the mesh helpers see the global device set
+from squeezedet_tpu.parallel.mesh import make_mesh
+mesh = make_mesh(4)
+assert mesh.devices.size == 4
+print("WORKER_OK", pid)
+"""
+
+
+_TRAIN_WORKER = r"""
+import sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 2)
+
+coordinator, pid = sys.argv[1], int(sys.argv[2])
+from squeezedet_tpu.parallel.distributed import initialize_multihost
+assert initialize_multihost(coordinator_address=coordinator,
+                            num_processes=2, process_id=pid)
+
+import jax.numpy as jnp
+import numpy as np
+from squeezedet_tpu.config import tiny_test_config
+from squeezedet_tpu.models import get_model
+from squeezedet_tpu.models.skeleton import Targets
+from squeezedet_tpu.optim import build_optimizer
+from squeezedet_tpu.parallel.mesh import (make_mesh, replicate_multihost,
+                                          shard_batch_multihost)
+from squeezedet_tpu.trainer import make_train_step
+
+# global batch 4 = 2 processes x 2 local images
+cfg = tiny_test_config(image_width=64, image_height=64, batch_size=4)
+det = get_model("squeezeDet", cfg)
+params, mask, _ = det.init(jax.random.key(0))  # same seed everywhere
+det.set_trainable_mask(mask)
+tx = build_optimizer(cfg, mask)
+opt_state = tx.init(params)
+
+mesh = make_mesh(4)
+params = replicate_multihost(mesh, params)
+opt_state = replicate_multihost(mesh, opt_state)
+
+rng = np.random.RandomState(100 + pid)  # each host reads its own shard
+a = cfg.anchors
+local = 2
+masks = np.zeros((local, a), np.float32); masks[:, 5] = 1.0
+labels = np.zeros((local, a, cfg.classes), np.float32)
+labels[:, 5, 0] = 1.0
+images = shard_batch_multihost(mesh, rng.randn(
+    local, 64, 64, 3).astype(np.float32))
+targets = shard_batch_multihost(mesh, Targets(
+    masks, rng.randn(local, a, 4).astype(np.float32) * 0.1,
+    np.full((local, a, 4), 30.0, np.float32), labels))
+
+step = make_train_step(det, tx, mesh=mesh, donate=False)
+new_params, _, lb = step(params, opt_state, images, targets,
+                         jax.random.key(1))
+jax.block_until_ready(new_params)
+loss = float(lb.total)
+assert np.isfinite(loss)
+
+# every process must hold the identical replicated loss and params
+from jax.experimental import multihost_utils
+losses = multihost_utils.process_allgather(np.asarray([loss]))
+assert np.allclose(losses, losses[0]), losses
+print("TRAIN_OK", pid, "loss", loss)
+"""
+
+
+def _run_pair(worker_src):
+    port = socket.socket()
+    port.bind(("127.0.0.1", 0))
+    coordinator = "127.0.0.1:{}".format(port.getsockname()[1])
+    port.close()
+
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("JAX_NUM_CPU_DEVICES", None)
+    procs = [subprocess.Popen(
+        [sys.executable, "-c", worker_src, coordinator, str(i)],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        text=True) for i in range(2)]
+    outs = []
+    for proc in procs:
+        out, err = proc.communicate(timeout=900)
+        outs.append((proc.returncode, out, err))
+    for i, (rc, out, err) in enumerate(outs):
+        assert rc == 0, "worker {} failed:\n{}\n{}".format(i, out, err)
+    return outs
+
+
+@pytest.mark.slow
+def test_two_process_multihost_cluster():
+    outs = _run_pair(_WORKER)
+    for i, (_, out, _) in enumerate(outs):
+        assert "WORKER_OK {}".format(i) in out
+
+
+@pytest.mark.slow
+def test_two_process_data_parallel_train_step():
+    """One SPMD train step across two processes: params replicated via
+    global arrays, batch sharded per-host, XLA psum over the gradient;
+    both controllers must agree on the loss."""
+    outs = _run_pair(_TRAIN_WORKER)
+    for i, (_, out, _) in enumerate(outs):
+        assert "TRAIN_OK {}".format(i) in out

@@ -69,6 +69,32 @@ def test_top_n_larger_than_anchor_count(rng):
     assert db.shape == (1, 20, 4) and keep.shape == (1, 20)
 
 
+def test_prob_thresh_applied_when_top_n_covers_all_anchors(rng):
+    """When top_n >= #anchors the host reference switches to
+    probs > PROB_THRESH filtering (nn_skeleton.py:711-720); the device
+    path must drop the same near-zero candidates."""
+    boxes, probs, cls = _random_dets(rng, n=20)
+    probs = np.linspace(0.9, 0.001, 20).astype(np.float32)
+    db, dp, dc, keep = filter_prediction_device(
+        jnp.asarray(boxes)[None], jnp.asarray(probs)[None],
+        jnp.asarray(cls)[None], top_n=64, nms_thresh=0.4, num_classes=3,
+        prob_thresh=0.1)
+    kept_probs = np.asarray(dp[0])[np.asarray(keep[0])]
+    assert (kept_probs > 0.1).all()
+    # host/device agreement on the surviving set
+    hb, hp, hc = filter_prediction_np(
+        boxes, probs, cls, classes=3, top_n_detection=64,
+        prob_thresh=0.1, nms_thresh=0.4)
+    assert sorted(np.round(kept_probs, 5)) == sorted(
+        np.round(np.asarray(hp, np.float32), 5))
+
+    # with a large top_n but no threshold, near-zero candidates survive
+    _, dp2, _, keep2 = filter_prediction_device(
+        jnp.asarray(boxes)[None], jnp.asarray(probs)[None],
+        jnp.asarray(cls)[None], top_n=64, nms_thresh=0.4, num_classes=3)
+    assert np.asarray(keep2[0]).sum() >= np.asarray(keep[0]).sum()
+
+
 def test_negotiated_inference_fn_smoke():
     """serving.negotiated_inference_fn compiles and runs (on CPU the
     AUTO-layout negotiation may fall back to the default layout; either

@@ -55,6 +55,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
 def detect_all(det, imdb, params, batch_size: int):
     """Run detection over the whole split.
 
+    When several devices are visible and the batch divides over them,
+    the forward pass runs data-parallel over a 1-D mesh (params
+    replicated, images sharded) — the reference's eval is single-GPU
+    batch-1 (eval.py:150-166); here a pod host can scan a split with
+    every chip.
+
     Returns (all_boxes[cls][img] = [[x1,y1,x2,y2,score],...],
     num_detection, timers dict).
     """
@@ -68,7 +74,26 @@ def detect_all(det, imdb, params, batch_size: int):
     all_boxes = [[[] for _ in range(num_images)]
                  for _ in range(imdb.num_classes)]
     timers = {'im_detect': Timer(), 'im_read': Timer(), 'misc': Timer()}
-    predict = jax.jit(det.predict)
+
+    mesh = None
+    if batch_size > 1 and len(jax.devices()) > 1:
+        from squeezedet_tpu.parallel.mesh import auto_mesh
+        mesh = auto_mesh(batch_size)
+    if mesh is not None:
+        from squeezedet_tpu.parallel.mesh import (batch_sharding,
+                                                  replicated_sharding,
+                                                  shard_batch)
+        print('Evaluating data-parallel over {} devices'.format(
+            mesh.devices.size))
+        rep = replicated_sharding(mesh)
+        params = jax.device_put(params, rep)
+        predict_jit = jax.jit(det.predict, in_shardings=(
+            rep, batch_sharding(mesh)))
+
+        def predict(p, images):
+            return predict_jit(p, shard_batch(mesh, images))
+    else:
+        predict = jax.jit(det.predict)
 
     num_detection = 0.0
     imdb._cur_idx = 0

@@ -1,0 +1,45 @@
+"""Data-parallel evaluation: detect_all over the 8-device CPU mesh must
+reproduce the single-device scan (same detections per image)."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from squeezedet_tpu.config import tiny_test_config
+from squeezedet_tpu.data import Kitti
+from squeezedet_tpu.eval import detect_all
+from squeezedet_tpu.models import get_model
+from synth_kitti import make_synth_kitti
+
+
+@pytest.fixture(scope="module")
+def kitti_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("kitti_dp")
+    make_synth_kitti(str(root), num_images=8, width=320, height=96,
+                     image_set="val")
+    return str(root)
+
+
+def test_detect_all_mesh_matches_single_device(kitti_root):
+    cfg1 = tiny_test_config(image_width=320, image_height=96,
+                            batch_size=1)
+    det1 = get_model("squeezeDet", cfg1)
+    params, _, _ = det1.init(jax.random.key(0))
+
+    db1 = Kitti("val", kitti_root, cfg1)
+    ref_boxes, ref_n, _ = detect_all(det1, db1, params, batch_size=1)
+
+    cfg8 = cfg1.replace(batch_size=8)
+    det8 = get_model("squeezeDet", cfg8)
+    db8 = Kitti("val", kitti_root, cfg8)
+    dp_boxes, dp_n, _ = detect_all(det8, db8, params, batch_size=8)
+
+    assert dp_n == ref_n
+    for c in range(db1.num_classes):
+        for i in range(len(db1.image_idx)):
+            a = np.asarray(sorted(map(tuple, ref_boxes[c][i])))
+            b = np.asarray(sorted(map(tuple, dp_boxes[c][i])))
+            assert a.shape == b.shape, (c, i)
+            if a.size:
+                np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-3)

@@ -384,3 +384,16 @@ def test_auto_mesh_and_multihost_noop():
     # single-process environment: multihost init must be a clean no-op
     assert initialize_multihost() is False
     assert is_primary_process()
+
+
+def test_histograms_host_target_path(kitti_root, cfg, tmp_path):
+    """Gradient histograms through the host-matcher (non-device_assign)
+    train path."""
+    det = get_model("squeezeDet", cfg)
+    db = Kitti("train", kitti_root, cfg, rng=np.random.RandomState(0))
+    writer = _CapturingWriter()
+    train(det, db, train_dir=str(tmp_path / "t"), max_steps=1,
+          checkpoint_step=10, summary_step=1, summary_writer=writer,
+          histogram_step=1, log_every=1)
+    assert any(t.startswith("gradients/conv12") for t in writer.histograms)
+    assert any(t.startswith("params/fire2") for t in writer.histograms)

@@ -103,6 +103,18 @@ class Detector:
         """Inference graph: forward + interpretation (jit this)."""
         return self.interpret(self.forward(params, images, train=False))
 
+    def predict_jit(self, params, images) -> Interpretation:
+        """Cached-jit predict.  ``jax.jit(det.predict)`` builds a NEW
+        wrapper per call (a bound method is a fresh object each access),
+        so repeated callers would silently recompile every time —
+        several seconds per summary step on TPU.  This caches one
+        wrapper on the detector."""
+        fn = getattr(self, "_predict_jit_fn", None)
+        if fn is None:
+            fn = jax.jit(self.predict)
+            object.__setattr__(self, "_predict_jit_fn", fn)
+        return fn(params, images)
+
     def activation_stats(self, params, images, sample: int = 65536):
         """Five-stat activation summary data per layer
         (nn_skeleton.py:736-755): {layer: {'sample', 'sparsity', 'mean',

@@ -127,7 +127,7 @@ def viz_prediction_images(det: Detector, params, images_np, targets,
     from squeezedet_tpu.utils.util import draw_box
 
     cfg = det.cfg
-    interp = jax.jit(det.predict)(params, jnp.asarray(images_np))
+    interp = det.predict_jit(params, jnp.asarray(images_np))
     det_boxes = np.asarray(interp.det_boxes)
     det_probs = np.asarray(interp.det_probs)
     det_class = np.asarray(interp.det_class)

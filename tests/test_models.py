@@ -176,3 +176,20 @@ def test_scratch_init_reference_mode():
     params_x, _, _ = det_x.init(jax.random.key(0))
     kx = np.asarray(params_x["fire2"]["squeeze1x1"]["kernel"])
     assert np.abs(kx).max() > 0.05  # Glorot limit for 128-fan 1x1
+
+
+def test_predict_jit_wrapper_is_cached():
+    """Repeated predict_jit calls must reuse one jit wrapper (a fresh
+    jax.jit(det.predict) per call would recompile every time)."""
+    import jax
+    import numpy as np
+    from squeezedet_tpu.config import tiny_test_config
+    from squeezedet_tpu.models import get_model
+    cfg = tiny_test_config(image_width=64, image_height=64, batch_size=1)
+    det = get_model("squeezeDet", cfg)
+    params, _, _ = det.init(jax.random.key(0))
+    x = np.zeros((1, 64, 64, 3), np.float32)
+    det.predict_jit(params, x)
+    fn1 = det._predict_jit_fn
+    det.predict_jit(params, x)
+    assert det._predict_jit_fn is fn1

@@ -11,6 +11,18 @@ dots.  Kept as working, tested Pallas infrastructure (manual HBM->VMEM
 DMA with halo windows, phase-split striding, roll-based pooling) rather
 than wired into the default model; the default path stays on XLA convs.
 
+Round-2 addendum — why no dot-based formulation can win here: the MXU
+streams one M-column per cycle through the full 128(K)x128(N) array, so
+a K=27, N=64 GEMM uses 10.5% of each cycle regardless of how many
+positions are batched per dot; all 15.3M conv-output positions of a
+128-batch therefore cost >= ~16 ms of MXU time as an im2col GEMM.
+Block-Toeplitz packing (segment of 42 input columns as K=126, 20
+outputs as N over 10 dots) raises density only to the Toeplitz
+sparsity 27/126 = 21% (~8 ms) — still 2x XLA's 3.86 ms native conv,
+which reuses operands spatially inside the MXU.  A round-2 HBM-im2col
+prestage variant also measured 35.7 ms for the XLA gather alone.  The
+frontend stays on XLA's native convolution by necessity, not neglect.
+
 Layout strategy: C_in=3 makes the conv a K=27 GEMM.  Mosaic supports
 neither >2D gathers nor strided slices, so all striding is resolved
 ahead of time: one fused XLA prestage splits the image into four

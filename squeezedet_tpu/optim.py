@@ -46,6 +46,44 @@ def clip_by_norm_per_leaf(max_norm: float) -> optax.GradientTransformation:
                                         update_fn)
 
 
+def _is_none(x):
+    return x is None
+
+
+def partition_params(params, trainable_mask):
+    """Split a param tree into (trainable, frozen) trees with ``None``
+    at the complementary leaves.
+
+    Differentiating the loss w.r.t. only the trainable subtree lets XLA
+    dead-code-eliminate the whole backward pass through frozen prefixes
+    (e.g. squeezeDet's frozen conv1, squeezeDet.py:40-42: with conv1 and
+    the input both excluded from autodiff, conv1's filter grad AND
+    pool1's select-and-scatter grad vanish from the program).  The
+    reference gets this for free because frozen layers are simply not in
+    ``tf.trainable_variables()`` (nn_skeleton.py:67-69).
+    """
+    trainable = jax.tree.map(lambda p, m: p if m else None, params,
+                             trainable_mask)
+    frozen = jax.tree.map(lambda p, m: None if m else p, params,
+                          trainable_mask)
+    return trainable, frozen
+
+
+def merge_params(trainable, frozen):
+    """Inverse of :func:`partition_params`."""
+    return jax.tree.map(lambda t, f: f if t is None else t, trainable,
+                        frozen, is_leaf=_is_none)
+
+
+def grads_with_frozen_zeros(grads_trainable, params):
+    """Pad a trainable-only grad tree back to the full param structure
+    with zeros at frozen leaves (what ``freeze_mask_transform`` would
+    have produced), so optimizer state trees keep the full structure."""
+    return jax.tree.map(
+        lambda g, p: jnp.zeros_like(p) if g is None else g,
+        grads_trainable, params, is_leaf=_is_none)
+
+
 def freeze_mask_transform(trainable_mask) -> optax.GradientTransformation:
     """Zero updates for frozen leaves (mask pytree of bools)."""
 

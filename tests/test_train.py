@@ -107,6 +107,46 @@ def test_frozen_leaves_never_move(cfg, rng):
     assert np.isfinite(float(lb.total))
 
 
+def test_trainable_only_grad_matches_full_grad_masked(cfg, rng):
+    """The train step differentiates only the trainable subtree (so XLA
+    can DCE the frozen-frontend backward); it must match the naive
+    full-gradient + freeze-mask formulation step for step."""
+    det = get_model("squeezeDet", cfg)
+    params, mask, _ = det.init(jax.random.key(0))
+    det.set_trainable_mask(mask)
+    tx = build_optimizer(cfg, mask)
+    imgs = jnp.asarray(rng.randn(cfg.batch_size, cfg.image_height,
+                                 cfg.image_width, 3).astype(np.float32))
+    tg = _toy_targets(cfg, rng)
+
+    @jax.jit
+    def full_step(p, opt_state, images, targets, key):
+        grads = jax.grad(
+            lambda q: det.loss(q, images, targets, rng=key,
+                               train=True).total)(p)
+        updates, opt_state = tx.update(grads, opt_state, p)
+        return jax.tree.map(lambda a, u: a + u, p, updates), opt_state
+
+    fast_step = make_train_step(det, tx, donate=False)
+
+    p_fast, os_fast = params, tx.init(params)
+    p_full, os_full = params, tx.init(params)
+    for i in range(3):
+        key = jax.random.key(7 + i)
+        p_fast, os_fast, _ = fast_step(p_fast, os_fast, imgs, tg, key)
+        p_full, os_full = full_step(p_full, os_full, imgs, tg, key)
+
+    flat_fast = jax.tree_util.tree_leaves_with_path(p_fast)
+    flat_full = dict(
+        (jax.tree_util.keystr(k), v)
+        for k, v in jax.tree_util.tree_leaves_with_path(p_full))
+    for key_path, leaf in flat_fast:
+        np.testing.assert_allclose(
+            np.asarray(leaf),
+            np.asarray(flat_full[jax.tree_util.keystr(key_path)]),
+            rtol=1e-6, atol=1e-7, err_msg=str(key_path))
+
+
 def test_loss_decreases_over_steps(cfg, rng):
     det = get_model("squeezeDet", cfg)
     params, mask, _ = det.init(jax.random.key(0))
@@ -281,10 +321,16 @@ def test_observability_histograms_and_device_assign_viz(
     ims = writer.images["sample_detection_results"][0][1]
     assert ims.shape[0] >= 1 and ims.dtype == np.uint8
 
-    # per-variable + per-gradient histograms for every leaf
-    assert any(t.startswith("params/conv1") for t in writer.histograms)
+    # per-variable + per-gradient histograms for every TRAINABLE leaf,
+    # like the reference (nn_skeleton.py:353-358 loops over
+    # tf.trainable_variables() for both) — frozen conv1 has neither
+    assert any(t.startswith("params/conv12") for t in writer.histograms)
     assert any(t.startswith("gradients/conv12")
                for t in writer.histograms)
+    assert not any(t.startswith("params/conv1/")
+                   for t in writer.histograms)
+    assert not any(t.startswith("gradients/conv1/")
+                   for t in writer.histograms)
     n_param = sum(t.startswith("params/") for t in writer.histograms)
     n_grad = sum(t.startswith("gradients/") for t in writer.histograms)
     assert n_param == n_grad > 10

@@ -151,8 +151,19 @@ class Imdb:
             if im is not None:
                 orig_x, dist_x = max(dx, 0), max(-dx, 0)
                 orig_y, dist_y = max(dy, 0), max(-dy, 0)
-                shifted = np.zeros((int(orig_h), int(orig_w), 3),
-                                   np.float32)
+                # the reference zero-pads the crop AFTER mean
+                # subtraction (imdb.py:164-177); the uint8 ingest path
+                # crops raw pixels, so its pad value is the rounded
+                # means — identical post-normalization to within bf16
+                # resolution
+                if im.dtype == np.uint8:
+                    shifted = np.full(
+                        (int(orig_h), int(orig_w), 3),
+                        np.round(self.mc.bgr_means_array()),
+                        np.uint8)
+                else:
+                    shifted = np.zeros((int(orig_h), int(orig_w), 3),
+                                       np.float32)
                 shifted[dist_y:, dist_x:, :] = im[orig_y:, orig_x:, :]
                 im = shifted
 
@@ -250,7 +261,8 @@ class Imdb:
                 aidx_per_batch, bbox_per_batch)
 
     def read_batch_raw_targets(self, shuffle: bool = True,
-                               max_gt: int = 48):
+                               max_gt: int = 48,
+                               uint8_images: bool = False):
         """Like :meth:`read_batch` but defers anchor assignment.
 
         Host does exactly the reference image path (imread, mean
@@ -260,6 +272,14 @@ class Imdb:
 
         Returns (images [B, H, W, 3] f32, gt_boxes [B, max_gt, 4] f32,
         gt_labels [B, max_gt] i32, num_gt [B] i32).
+
+        With ``uint8_images`` the pixels stay uint8 end-to-end on the
+        host (crop pads with rounded means, resize rounds) and the mean
+        subtraction moves into the device program — 4x less host→device
+        traffic and no f32→bf16 convert + relayout on device.
+        Equivalent to the f32 path to within bf16-compute resolution
+        (±0.5 raw-pixel units); not supported with the native loader
+        (which bakes the mean subtraction into its C++ pipeline).
         """
         import cv2
         mc = self.mc
@@ -270,17 +290,19 @@ class Imdb:
         labels_out = np.zeros((b, max_gt), np.int32)
         num_gt = np.zeros((b,), np.int32)
 
-        if getattr(mc, "use_native_loader", False):
+        if getattr(mc, "use_native_loader", False) and not uint8_images:
             from squeezedet_tpu.native import dataloader as ndl
             if ndl.available():
                 return self._read_raw_targets_native(
                     ndl, batch_idx, max_gt, gt_out, labels_out, num_gt)
 
         images = np.zeros((b, mc.image_height, mc.image_width, 3),
-                          np.float32)
+                          np.uint8 if uint8_images else np.float32)
         for bi, idx in enumerate(batch_idx):
-            im = cv2.imread(self._image_path_at(idx)).astype(np.float32)
-            im -= mc.bgr_means_array()
+            im = cv2.imread(self._image_path_at(idx))
+            if not uint8_images:
+                im = im.astype(np.float32)
+                im -= mc.bgr_means_array()
             orig_h, orig_w, _ = [float(v) for v in im.shape]
             labels = [box[4] for box in self._rois[idx][:]]
             gt_bbox = np.array(

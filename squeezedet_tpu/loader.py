@@ -22,12 +22,14 @@ class PrefetchLoader:
 
     def __init__(self, imdb, *, num_threads: Optional[int] = None,
                  capacity: Optional[int] = None, shuffle: bool = True,
-                 device_targets: bool = False, max_gt: int = 48):
+                 device_targets: bool = False, max_gt: int = 48,
+                 uint8_images: bool = False):
         mc = imdb.mc
         self._imdb = imdb
         self._shuffle = shuffle
         self._device_targets = device_targets
         self._max_gt = max_gt
+        self._uint8_images = uint8_images
         self._num_anchors = mc.anchors
         self._num_classes = mc.classes
         self._queue: queue.Queue = queue.Queue(
@@ -52,7 +54,8 @@ class PrefetchLoader:
                     # raw padded gt; the matcher runs inside the jitted
                     # train step (device_pipeline.assign_anchors_device)
                     item = self._imdb.read_batch_raw_targets(
-                        shuffle=self._shuffle, max_gt=self._max_gt)
+                        shuffle=self._shuffle, max_gt=self._max_gt,
+                        uint8_images=self._uint8_images)
                 else:
                     batch = self._imdb.read_batch(shuffle=self._shuffle)
                     item = batch_to_dense_targets(

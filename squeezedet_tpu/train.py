@@ -62,6 +62,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument('--device_assign', action='store_true',
                    help='Run anchor-target assignment on device inside '
                         'the train step instead of on host threads.')
+    p.add_argument('--uint8_ingest', action='store_true',
+                   help='Feed raw uint8 images and fuse the mean '
+                        'subtraction into the device program (4x less '
+                        'host-to-device traffic; equivalent to the f32 '
+                        'path within bf16 resolution). Requires '
+                        '--device_assign.')
     p.add_argument('--profile_steps', default='',
                    help="Capture a jax profiler trace, e.g. '20:25' "
                         "traces steps 20..24 into <train_dir>/profile.")
@@ -141,7 +147,8 @@ def main(argv=None):
           viz_step=args.summary_step, step_tracer=step_tracer,
           device_assign=args.device_assign,
           histogram_step=args.histogram_step,
-          activation_summary=args.activation_summary)
+          activation_summary=args.activation_summary,
+          uint8_ingest=args.uint8_ingest)
     writer.close()
 
 

@@ -92,13 +92,18 @@ def make_train_step(det: Detector, tx, mesh=None, donate: bool = True):
 
 
 def make_train_step_device(det: Detector, tx, mesh=None,
-                           donate: bool = True):
+                           donate: bool = True,
+                           uint8_ingest: bool = False):
     """Train step with the anchor matcher fused into the device program.
 
     Signature: (params, opt_state, images, gt_boxes, gt_labels, num_gt,
     rng) -> (params, opt_state, LossBreakdown).  Removes the reference's
     O(num_gt x ANCHORS) per-image numpy loop (imdb.py:197-235) from the
     host hot path.
+
+    ``uint8_ingest``: images arrive as raw uint8 and the mean
+    subtraction (imdb.py:143-144) is fused into the device program —
+    4x less host→device traffic and no f32 convert/relayout on entry.
     """
     from squeezedet_tpu.data.device_pipeline import assign_anchors_device
     from squeezedet_tpu.optim import (grads_with_frozen_zeros,
@@ -110,6 +115,12 @@ def make_train_step_device(det: Detector, tx, mesh=None,
 
     def step_fn(params, opt_state, images, gt_boxes, gt_labels, num_gt,
                 rng):
+        if uint8_ingest:
+            from squeezedet_tpu.data.device_pipeline import (
+                normalize_images)
+            images = normalize_images(
+                images, det.cfg.bgr_means,
+                jnp.dtype(det.cfg.compute_dtype))
         targets = assign_anchors_device(anchors, gt_boxes, gt_labels,
                                         num_gt, num_classes)
         trainable, frozen = partition_params(params, mask)
@@ -228,10 +239,15 @@ def train(det: Detector, imdb, *, train_dir: str, max_steps: int,
           viz_step: int = 0, step_tracer=None,
           device_assign: bool = False, max_gt: int = 48,
           histogram_step: int = 0,
-          activation_summary: bool = False) -> TrainState:
+          activation_summary: bool = False,
+          uint8_ingest: bool = False) -> TrainState:
     """Full training loop (reference train.py:102-335)."""
     cfg = det.cfg
     os.makedirs(train_dir, exist_ok=True)
+    if uint8_ingest and not device_assign:
+        raise ValueError("--uint8_ingest requires --device_assign (the "
+                         "dense-target path feeds mean-subtracted f32 "
+                         "images like the reference)")
 
     rng = jax.random.key(seed)
     rng, init_rng = jax.random.split(rng)
@@ -258,7 +274,8 @@ def train(det: Detector, imdb, *, train_dir: str, max_steps: int,
         from squeezedet_tpu.parallel.mesh import auto_mesh
         mesh = auto_mesh(cfg.batch_size)
     if device_assign:
-        train_step = make_train_step_device(det, tx, mesh=mesh)
+        train_step = make_train_step_device(det, tx, mesh=mesh,
+                                            uint8_ingest=uint8_ingest)
     else:
         train_step = make_train_step(det, tx, mesh=mesh)
 
@@ -292,7 +309,11 @@ def train(det: Detector, imdb, *, train_dir: str, max_steps: int,
         if device_assign:
             def gf(p, images, gt_boxes, gt_labels, num_gt, rng):
                 from squeezedet_tpu.data.device_pipeline import (
-                    assign_anchors_device as assign)
+                    assign_anchors_device as assign, normalize_images)
+                if uint8_ingest:
+                    images = normalize_images(
+                        images, cfg.bgr_means,
+                        jnp.dtype(cfg.compute_dtype))
                 tg = assign(anchors_const, gt_boxes, gt_labels, num_gt,
                             cfg.classes)
                 return _tgrad(p, lambda q: det.loss(
@@ -304,7 +325,16 @@ def train(det: Detector, imdb, *, train_dir: str, max_steps: int,
         return jax.jit(gf)
 
     loader = PrefetchLoader(imdb, device_targets=device_assign,
-                            max_gt=max_gt).start()
+                            max_gt=max_gt,
+                            uint8_images=uint8_ingest).start()
+
+    def _images_for_summary(images):
+        """Viz/activation consumers expect mean-subtracted f32 pixels
+        (they add the means back for display); undo the uint8 ingest."""
+        if uint8_ingest:
+            return np.asarray(images).astype(np.float32) \
+                - cfg.bgr_means_array()
+        return np.asarray(images)
     try:
         params, opt_state = state.params, state.opt_state
         multihost = jax.process_count() > 1
@@ -377,7 +407,8 @@ def train(det: Detector, imdb, *, train_dir: str, max_steps: int,
                                              batch[2], batch[3])
                     if targets is not None:
                         ims = viz_prediction_images(
-                            det, params, np.asarray(images), targets)
+                            det, params, _images_for_summary(images),
+                            targets)
                         summary_writer.image(
                             "sample_detection_results", ims, step,
                             max_outputs=cfg.batch_size)
@@ -395,8 +426,8 @@ def train(det: Detector, imdb, *, train_dir: str, max_steps: int,
                                      None))
                 if activation_summary:
                     write_activation_summaries(
-                        summary_writer, det, params, np.asarray(images),
-                        step)
+                        summary_writer, det, params,
+                        _images_for_summary(images), step)
             if do_log:
                 duration = time.time() - start_time
                 print('%s: step %d, loss = %.2f (%.1f images/sec; %.3f '

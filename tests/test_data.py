@@ -148,3 +148,28 @@ def test_augmentation_rng_call_order_parity(kitti_root, cfg):
             np.testing.assert_array_equal(
                 raw_labels[bi, :n], np.asarray(labels[bi], np.int32))
             np.testing.assert_allclose(raw_imgs[bi], imgs[bi], atol=1e-5)
+
+
+def test_uint8_ingest_parity(kitti_root, cfg):
+    """read_batch_raw_targets(uint8_images=True) keeps pixels uint8 on
+    the host; after the on-device normalize (u8 - means) it must match
+    the f32 path within resize-rounding tolerance, with identical
+    geometry (same RNG stream through _augment)."""
+    aug_cfg = cfg.replace(data_augmentation=True, drift_x=30, drift_y=20)
+    db_f = Kitti("train", kitti_root, aug_cfg, rng=np.random.RandomState(3))
+    db_u = Kitti("train", kitti_root, aug_cfg, rng=np.random.RandomState(3))
+    means = aug_cfg.bgr_means_array()
+    for _ in range(3):
+        imgs_f, gt_f, labels_f, n_f = db_f.read_batch_raw_targets(
+            shuffle=False)
+        imgs_u, gt_u, labels_u, n_u = db_u.read_batch_raw_targets(
+            shuffle=False, uint8_images=True)
+        assert imgs_u.dtype == np.uint8
+        np.testing.assert_array_equal(n_f, n_u)
+        np.testing.assert_allclose(gt_f, gt_u, rtol=1e-6)
+        np.testing.assert_array_equal(labels_f, labels_u)
+        normalized = imgs_u.astype(np.float32) - means
+        # resize on uint8 rounds each pixel; drift padding differs by
+        # the fractional part of the means (<= 0.5) — both below bf16
+        # resolution at this magnitude
+        assert np.max(np.abs(normalized - imgs_f)) <= 1.0 + 0.5

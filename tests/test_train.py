@@ -232,6 +232,41 @@ def test_device_assign_train_step(kitti_root, cfg, rng):
                               np.asarray(params["conv12"]["kernel"]))
 
 
+def test_uint8_ingest_step_matches_f32(kitti_root, cfg):
+    """The uint8-ingest device step (raw uint8 in, on-device mean
+    subtraction) reproduces the f32-ingest step's loss and updates
+    within ingest-rounding tolerance."""
+    from squeezedet_tpu.trainer import make_train_step_device
+    no_aug = cfg.replace(data_augmentation=False)
+    det = get_model("squeezeDet", no_aug)
+    db_f = Kitti("train", kitti_root, no_aug, rng=np.random.RandomState(5))
+    db_u = Kitti("train", kitti_root, no_aug, rng=np.random.RandomState(5))
+    imgs_f, gt, labels, num_gt = db_f.read_batch_raw_targets(
+        shuffle=False, max_gt=16)
+    imgs_u, gt_u, labels_u, num_gt_u = db_u.read_batch_raw_targets(
+        shuffle=False, max_gt=16, uint8_images=True)
+    np.testing.assert_allclose(gt, gt_u, rtol=1e-6)
+
+    params, mask, _ = det.init(jax.random.key(0))
+    det.set_trainable_mask(mask)
+    tx = build_optimizer(cfg, mask)
+    step_f = make_train_step_device(det, tx, donate=False)
+    step_u = make_train_step_device(det, tx, donate=False,
+                                    uint8_ingest=True)
+    key = jax.random.key(1)
+    args = (jnp.asarray(gt), jnp.asarray(labels), jnp.asarray(num_gt))
+    pf, _, lb_f = step_f(params, tx.init(params), jnp.asarray(imgs_f),
+                         *args, key)
+    pu, _, lb_u = step_u(params, tx.init(params), jnp.asarray(imgs_u),
+                         *args, key)
+    assert imgs_u.dtype == np.uint8
+    assert abs(float(lb_f.total) - float(lb_u.total)) < 0.05 * max(
+        1.0, abs(float(lb_f.total)))
+    np.testing.assert_allclose(
+        np.asarray(pu["conv12"]["kernel"]),
+        np.asarray(pf["conv12"]["kernel"]), rtol=0.05, atol=1e-4)
+
+
 def test_device_assign_loss_matches_host_path(kitti_root, cfg):
     """Same batch through host matcher vs device matcher -> same loss."""
     from squeezedet_tpu.data.device_pipeline import assign_anchors_device

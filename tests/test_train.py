@@ -232,6 +232,42 @@ def test_device_assign_train_step(kitti_root, cfg, rng):
                               np.asarray(params["conv12"]["kernel"]))
 
 
+@pytest.mark.parametrize("net", ["squeezeDet+", "vgg16", "resnet50"])
+def test_one_train_step_every_backbone(net, rng):
+    """One real train step per non-flagship backbone: the trainable-
+    subtree gradient partition must compose with each freeze mask
+    (vgg16 freezes conv1_1-2; resnet50 freezes conv1+res2+res3 incl.
+    frozen-stats BN affine params), frozen leaves must hold still, and
+    trainable leaves must move."""
+    tcfg = tiny_test_config(net=net, image_width=96, image_height=96,
+                            batch_size=1)
+    det = get_model(net, tcfg)
+    params, mask, _ = det.init(jax.random.key(0))
+    det.set_trainable_mask(mask)
+    tx = build_optimizer(tcfg, mask)
+    step = make_train_step(det, tx, donate=False)
+    imgs = jnp.asarray(rng.randn(1, 96, 96, 3).astype(np.float32))
+    tg = _toy_targets(tcfg, rng)
+    new_params, _, lb = step(params, tx.init(params), imgs, tg,
+                             jax.random.key(1))
+    assert np.isfinite(float(lb.total))
+    moved = frozen_still = 0
+    flat_new = jax.tree_util.tree_leaves_with_path(new_params)
+    old = dict((jax.tree_util.keystr(k), v) for k, v in
+               jax.tree_util.tree_leaves_with_path(params))
+    flat_mask = dict((jax.tree_util.keystr(k), v) for k, v in
+                     jax.tree_util.tree_leaves_with_path(mask))
+    for key_path, leaf in flat_new:
+        ks = jax.tree_util.keystr(key_path)
+        same = np.array_equal(np.asarray(leaf), np.asarray(old[ks]))
+        if flat_mask[ks]:
+            moved += not same
+        else:
+            frozen_still += same
+            assert same, "frozen leaf moved: {}".format(ks)
+    assert moved > 0 and frozen_still > 0
+
+
 def test_uint8_ingest_step_matches_f32(kitti_root, cfg):
     """The uint8-ingest device step (raw uint8 in, on-device mean
     subtraction) reproduces the f32-ingest step's loss and updates

@@ -44,6 +44,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="Override compute dtype, e.g. 'bfloat16'.")
     p.add_argument('--no_resume', action='store_true',
                    help='Do not auto-resume from train_dir checkpoints.')
+    p.add_argument('--fresh_start', action='store_true',
+                   help='Delete and recreate train_dir before training, '
+                        'like the reference main() (train.py:338-340). '
+                        'The default here preserves the dir and '
+                        'auto-resumes instead.')
     p.add_argument('--image_width', type=int, default=0,
                    help='Override input width (0 = model default).')
     p.add_argument('--image_height', type=int, default=0,
@@ -122,6 +127,9 @@ def main(argv=None):
     imdb = Kitti(args.image_set, args.data_path, cfg,
                  rng=np.random.RandomState(args.seed))
 
+    if args.fresh_start and os.path.isdir(args.train_dir):
+        import shutil
+        shutil.rmtree(args.train_dir)
     os.makedirs(args.train_dir, exist_ok=True)
     writer = SummaryWriter(args.train_dir)
 

@@ -56,10 +56,10 @@ def make_train_step(det: Detector, tx, mesh=None, donate: bool = True):
     Gradients are taken w.r.t. the trainable subtree only
     (``partition_params``): numerically identical to differentiating
     everything and masking (frozen grads were zeroed by the optimizer
-    chain anyway), but XLA can then eliminate the backward pass through
-    frozen prefixes — for squeezeDet that removes conv1's filter grad
-    and pool1's select-and-scatter entirely (~29% of the step's device
-    time at batch 64 bf16).
+    chain anyway, and XLA's DCE already exploited that — verified in
+    the compiled HLO), but the partition makes the frozen-prefix
+    backward elimination structural rather than an optimizer-dependent
+    cleanup, for every backbone's freeze mask.
     """
     from squeezedet_tpu.optim import (grads_with_frozen_zeros,
                                       merge_params, partition_params)

@@ -38,7 +38,10 @@ assert sorted(int(v) for v in gathered.ravel()) == [0, 1], gathered
 from squeezedet_tpu.parallel.mesh import make_mesh
 mesh = make_mesh(4)
 assert mesh.devices.size == 4
-print("WORKER_OK", pid)
+# marker via file: Gloo's C-level stdout logging (background threads)
+# can interleave with Python's stdout writes, splitting printed markers
+with open(sys.argv[3], "w") as f:
+    f.write("WORKER_OK {}".format(pid))
 """
 
 
@@ -98,11 +101,12 @@ assert np.isfinite(loss)
 from jax.experimental import multihost_utils
 losses = multihost_utils.process_allgather(np.asarray([loss]))
 assert np.allclose(losses, losses[0]), losses
-print("TRAIN_OK", pid, "loss", loss)
+with open(sys.argv[3], "w") as f:
+    f.write("TRAIN_OK {} loss {}".format(pid, loss))
 """
 
 
-def _run_pair(worker_src):
+def _run_pair(worker_src, tmp_path):
     port = socket.socket()
     port.bind(("127.0.0.1", 0))
     coordinator = "127.0.0.1:{}".format(port.getsockname()[1])
@@ -111,8 +115,9 @@ def _run_pair(worker_src):
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)
     env.pop("JAX_NUM_CPU_DEVICES", None)
+    markers = [str(tmp_path / "marker{}".format(i)) for i in range(2)]
     procs = [subprocess.Popen(
-        [sys.executable, "-c", worker_src, coordinator, str(i)],
+        [sys.executable, "-c", worker_src, coordinator, str(i), markers[i]],
         env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
         text=True) for i in range(2)]
     outs = []
@@ -121,21 +126,21 @@ def _run_pair(worker_src):
         outs.append((proc.returncode, out, err))
     for i, (rc, out, err) in enumerate(outs):
         assert rc == 0, "worker {} failed:\n{}\n{}".format(i, out, err)
-    return outs
+    return [open(m).read() for m in markers]
 
 
 @pytest.mark.slow
-def test_two_process_multihost_cluster():
-    outs = _run_pair(_WORKER)
-    for i, (_, out, _) in enumerate(outs):
-        assert "WORKER_OK {}".format(i) in out
+def test_two_process_multihost_cluster(tmp_path):
+    markers = _run_pair(_WORKER, tmp_path)
+    for i, marker in enumerate(markers):
+        assert "WORKER_OK {}".format(i) in marker
 
 
 @pytest.mark.slow
-def test_two_process_data_parallel_train_step():
+def test_two_process_data_parallel_train_step(tmp_path):
     """One SPMD train step across two processes: params replicated via
     global arrays, batch sharded per-host, XLA psum over the gradient;
     both controllers must agree on the loss."""
-    outs = _run_pair(_TRAIN_WORKER)
-    for i, (_, out, _) in enumerate(outs):
-        assert "TRAIN_OK {}".format(i) in out
+    markers = _run_pair(_TRAIN_WORKER, tmp_path)
+    for i, marker in enumerate(markers):
+        assert "TRAIN_OK {}".format(i) in marker

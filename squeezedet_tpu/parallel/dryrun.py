@@ -48,7 +48,9 @@ def run(n_devices: int) -> float:
     from squeezedet_tpu.models import get_model
     from squeezedet_tpu.models.skeleton import Targets
     from squeezedet_tpu.optim import build_optimizer
-    from squeezedet_tpu.parallel.mesh import (make_mesh,
+    from squeezedet_tpu.parallel.mesh import (batch_sharding,
+                                              image_sharding, make_mesh,
+                                              make_mesh_2d,
                                               replicated_sharding,
                                               shard_batch)
     from squeezedet_tpu.trainer import make_train_step
@@ -94,6 +96,26 @@ def run(n_devices: int) -> float:
     jax.block_until_ready(new_params)
     total = float(lb.total)
     assert np.isfinite(total), "loss diverged in dryrun"
+
+    if n_devices >= 4 and n_devices % 2 == 0:
+        # Same step over a 2-D data x spatial mesh: batch over 'data',
+        # image height over 'spatial' (XLA inserts the conv halo
+        # exchanges).  The loss must agree with the 1-D run.
+        mesh2 = make_mesh_2d(2, n_devices // 2, devices=devices)
+        rep2 = replicated_sharding(mesh2)
+        p2 = jax.device_put(jax.device_get(params), rep2)
+        o2 = jax.device_put(jax.device_get(opt_state), rep2)
+        im2 = jax.device_put(np.asarray(images), image_sharding(mesh2))
+        tg2 = jax.tree.map(
+            lambda x: jax.device_put(np.asarray(x),
+                                     batch_sharding(mesh2)), targets)
+        step2 = make_train_step(det, tx, mesh=mesh2, donate=False)
+        _, _, lb2 = step2(p2, o2, im2, tg2, jax.random.key(1))
+        total2 = float(lb2.total)
+        assert np.isfinite(total2), "loss diverged in 2-D dryrun"
+        assert abs(total2 - total) < 1e-3 * max(1.0, abs(total)), (
+            "data x spatial loss {} disagrees with data-parallel loss "
+            "{}".format(total2, total))
     return total
 
 

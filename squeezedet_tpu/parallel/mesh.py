@@ -42,8 +42,40 @@ def auto_mesh(batch_size: int, axis_name: str = "data") -> Optional[Mesh]:
     return Mesh(np.array(devices[:n]), (axis_name,))
 
 
+def make_mesh_2d(n_data: int, n_spatial: int, devices=None,
+                 axis_names=("data", "spatial")) -> Mesh:
+    """2-D mesh for combined data x spatial parallelism.
+
+    The ``spatial`` axis shards the image *height* dimension of the
+    activations; XLA's SPMD partitioner inserts the halo exchanges
+    (``collective-permute`` of the kernel-overlap rows over ICI) that
+    convolutions and pools need at shard boundaries, and gathers the
+    feature map only at the detection head where per-anchor tensors are
+    formed.  Verified bit-exact against the unsharded forward pass
+    (tests/test_spatial.py).  Use for small-batch / low-latency serving
+    and for scaling training past the point where the per-device batch
+    would drop below one image.
+    """
+    if devices is None:
+        devices = jax.devices()
+    n = n_data * n_spatial
+    assert len(devices) >= n, (
+        "need {} devices for a {}x{} mesh, have {}".format(
+            n, n_data, n_spatial, len(devices)))
+    return Mesh(np.array(devices[:n]).reshape(n_data, n_spatial),
+                axis_names)
+
+
 def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def image_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for NHWC image batches: batch over ``data`` and, when
+    the mesh has a ``spatial`` axis, height over ``spatial``."""
+    if "spatial" in mesh.axis_names:
+        return NamedSharding(mesh, P("data", "spatial"))
+    return NamedSharding(mesh, P("data"))
 
 
 def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:

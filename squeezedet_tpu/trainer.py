@@ -27,7 +27,7 @@ from squeezedet_tpu.loader import PrefetchLoader
 from squeezedet_tpu.models import Detector
 from squeezedet_tpu.models.skeleton import Targets
 from squeezedet_tpu.optim import build_optimizer, learning_rate_at
-from squeezedet_tpu.parallel.mesh import (batch_sharding,
+from squeezedet_tpu.parallel.mesh import (batch_sharding, image_sharding,
                                           replicated_sharding, shard_batch)
 
 
@@ -85,8 +85,9 @@ def make_train_step(det: Detector, tx, mesh=None, donate: bool = True):
     if mesh is not None:
         rep = replicated_sharding(mesh)
         data = batch_sharding(mesh)
+        imgs = image_sharding(mesh)  # + height over 'spatial' if present
         tg_shard = Targets(data, data, data, data)
-        kwargs["in_shardings"] = (rep, rep, data, tg_shard, rep)
+        kwargs["in_shardings"] = (rep, rep, imgs, tg_shard, rep)
         kwargs["out_shardings"] = (rep, rep, rep)
     return jax.jit(step_fn, **kwargs)
 
@@ -142,7 +143,8 @@ def make_train_step_device(det: Detector, tx, mesh=None,
     if mesh is not None:
         rep = replicated_sharding(mesh)
         data = batch_sharding(mesh)
-        kwargs["in_shardings"] = (rep, rep, data, data, data, data, rep)
+        imgs = image_sharding(mesh)  # + height over 'spatial' if present
+        kwargs["in_shardings"] = (rep, rep, imgs, data, data, data, rep)
         kwargs["out_shardings"] = (rep, rep, rep)
     return jax.jit(step_fn, **kwargs)
 

@@ -89,8 +89,48 @@ class Imdb:
     # -- sampler ------------------------------------------------------------
     def _shuffle_image_idx(self):
         perm = self._rng.permutation(np.arange(len(self._image_idx)))
+        self._perm_order = perm
         self._perm_idx = [self._image_idx[i] for i in perm]
         self._cur_idx = 0
+
+    def sampler_state(self) -> Dict[str, np.ndarray]:
+        """Snapshot of the input-stream position as plain arrays: the
+        epoch permutation, the cursor, and the augmentation RNG.  Saved
+        alongside checkpoints so a resumed run continues the data stream
+        where it left off instead of restarting the epoch (the reference
+        restarts the stream on resume, train.py:243-245).  With a
+        prefetch depth > 0 the snapshot can run up to the queue capacity
+        ahead of the batches the train step actually consumed; a
+        single-thread, capacity-1 loader makes resume exact."""
+        with self._lock:
+            key, pos, has_gauss, cached = self._rng.get_state()[1:]
+            perm = getattr(self, "_perm_order", None)
+            return {
+                "perm_order": (np.asarray(perm, np.int64)
+                               if perm is not None
+                               else np.zeros((0,), np.int64)),
+                "cur_idx": np.asarray(self._cur_idx, np.int64),
+                "rng_key": np.asarray(key, np.uint32),
+                "rng_pos": np.asarray(pos, np.int64),
+                "rng_has_gauss": np.asarray(has_gauss, np.int64),
+                "rng_cached_gaussian": np.asarray(cached, np.float64),
+            }
+
+    def set_sampler_state(self, state: Dict[str, np.ndarray]) -> None:
+        """Restore a :meth:`sampler_state` snapshot (inverse op)."""
+        with self._lock:
+            perm = np.asarray(state["perm_order"], np.int64)
+            if perm.size:
+                assert perm.size == len(self._image_idx), (
+                    "sampler state is for a {}-image set, this imdb has "
+                    "{}".format(perm.size, len(self._image_idx)))
+                self._perm_order = perm
+                self._perm_idx = [self._image_idx[i] for i in perm]
+            self._cur_idx = int(state["cur_idx"])
+            self._rng.set_state(
+                ("MT19937", np.asarray(state["rng_key"], np.uint32),
+                 int(state["rng_pos"]), int(state["rng_has_gauss"]),
+                 float(state["rng_cached_gaussian"])))
 
     def _next_batch_idx(self, shuffle: bool) -> List[str]:
         """Thread-safe version of the index window logic (imdb.py:115-127)."""

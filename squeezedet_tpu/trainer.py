@@ -271,6 +271,15 @@ def train(det: Detector, imdb, *, train_dir: str, max_steps: int,
         if step is not None:
             state = TrainState.from_tree(restored)
             print("Resumed from step {}".format(state.step))
+            # continue the input stream where the checkpoint left it
+            # (epoch permutation + cursor + augmentation RNG)
+            sampler_file = os.path.join(
+                train_dir, "sampler.ckpt-{}.npz".format(step))
+            if os.path.exists(sampler_file):
+                with np.load(sampler_file) as data:
+                    imdb.set_sampler_state(dict(data))
+                print("Restored input-stream state ({})".format(
+                    os.path.basename(sampler_file)))
 
     if mesh is None and len(jax.devices()) > 1:
         from squeezedet_tpu.parallel.mesh import auto_mesh
@@ -450,6 +459,9 @@ def train(det: Detector, imdb, *, train_dir: str, max_steps: int,
                                    opt_state=jax.device_get(opt_state),
                                    step=step + 1)
                 ckpt.save(step, state.as_tree())
+                np.savez(os.path.join(
+                    train_dir, "sampler.ckpt-{}.npz".format(step)),
+                    **imdb.sampler_state())
         state = TrainState(params=jax.device_get(params),
                            opt_state=jax.device_get(opt_state),
                            step=max_steps)

@@ -514,3 +514,39 @@ def test_histograms_host_target_path(kitti_root, cfg, tmp_path):
           histogram_step=1, log_every=1)
     assert any(t.startswith("gradients/conv12") for t in writer.histograms)
     assert any(t.startswith("params/fire2") for t in writer.histograms)
+
+
+def test_sampler_state_roundtrip(kitti_root, cfg):
+    """A sampler_state snapshot replays the input stream exactly: same
+    batch composition and same augmentation draws (drift, flip) on a
+    fresh Imdb seeded differently."""
+    db1 = Kitti("train", kitti_root, cfg, rng=np.random.RandomState(7))
+    for _ in range(3):
+        db1.read_batch_raw_targets(max_gt=8)
+    snap = db1.sampler_state()
+    expect = [db1.read_batch_raw_targets(max_gt=8) for _ in range(3)]
+
+    db2 = Kitti("train", kitti_root, cfg, rng=np.random.RandomState(99))
+    db2.set_sampler_state(snap)
+    got = [db2.read_batch_raw_targets(max_gt=8) for _ in range(3)]
+    for a, b in zip(expect, got):
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_train_resume_restores_sampler(kitti_root, cfg, tmp_path, capsys):
+    """The train loop checkpoints the input-stream state next to each
+    model checkpoint and restores it on resume."""
+    det = get_model("squeezeDet", cfg)
+    db = Kitti("train", kitti_root, cfg, rng=np.random.RandomState(0))
+    train_dir = str(tmp_path / "train")
+    train(det, db, train_dir=train_dir, max_steps=2,
+          checkpoint_step=1, summary_step=1000, log_every=1)
+    assert os.path.exists(os.path.join(train_dir, "sampler.ckpt-1.npz"))
+
+    db2 = Kitti("train", kitti_root, cfg, rng=np.random.RandomState(5))
+    train(det, db2, train_dir=train_dir, max_steps=3,
+          checkpoint_step=10, summary_step=1000, log_every=1)
+    out = capsys.readouterr().out
+    assert "Resumed from step 2" in out
+    assert "Restored input-stream state (sampler.ckpt-1.npz)" in out

@@ -54,3 +54,87 @@ def negotiated_inference_fn(det, batch_size: int,
         print("layout negotiation unavailable ({}); using default "
               "layout".format(e))
         return jax.jit(fn), jax.devices()[0]
+
+
+def export_model(det, params, path: str, *, batch_size: int = 1,
+                 uint8_input: bool = True, postprocess: bool = True,
+                 platforms=("tpu", "cpu")) -> None:
+    """Serialize the full inference program to a deployable artifact.
+
+    The reference ships inference as a checkpoint plus the model-builder
+    source (demo.py restores variables into a rebuilt graph); the
+    TPU-native deployment unit is the *program*: weights baked in,
+    lowered to StableHLO via ``jax.export``, runnable on any listed
+    platform without the model code or the config. ``path`` becomes a
+    directory holding ``model.stablehlo`` + ``metadata.json`` (class
+    names, input geometry, output contract — what a serving frontend
+    needs to label and draw detections).
+    """
+    import json
+    import os
+
+    import numpy as np
+    from jax import export as jax_export
+
+    from squeezedet_tpu.ops.postprocess import filter_prediction_device
+
+    cfg = det.cfg
+
+    def fn(images):
+        if uint8_input:
+            interp = det.predict_raw(params, images)
+        else:
+            interp = det.predict(params, images)
+        if not postprocess:
+            return (interp.det_boxes, interp.det_probs, interp.det_class)
+        boxes, probs, classes, keep = filter_prediction_device(
+            interp.det_boxes, interp.det_probs, interp.det_class,
+            top_n=cfg.top_n_detection, nms_thresh=cfg.nms_thresh,
+            num_classes=cfg.classes, prob_thresh=cfg.prob_thresh)
+        return (boxes, probs, classes, keep)
+
+    spec = jax.ShapeDtypeStruct(
+        (batch_size, cfg.image_height, cfg.image_width, 3),
+        np.uint8 if uint8_input else np.float32)
+    exported = jax_export.export(jax.jit(fn), platforms=list(platforms))(
+        spec)
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "model.stablehlo"), "wb") as f:
+        f.write(exported.serialize())
+    meta = {
+        "net": type(det).__name__,
+        "class_names": list(cfg.class_names),
+        "image_height": cfg.image_height,
+        "image_width": cfg.image_width,
+        "batch_size": batch_size,
+        "input_dtype": "uint8" if uint8_input else "float32",
+        "input_is_bgr_raw": bool(uint8_input),
+        "bgr_means": [float(m) for m in cfg.bgr_means],
+        "postprocess": bool(postprocess),
+        "outputs": ("boxes[B,K,4] cx,cy,w,h; probs[B,K]; classes[B,K]; "
+                    "keep[B,K]" if postprocess else
+                    "det_boxes[B,A,4]; det_probs[B,A]; det_class[B,A]"),
+        "plot_prob_thresh": float(cfg.plot_prob_thresh),
+        "platforms": list(platforms),
+    }
+    with open(os.path.join(path, "metadata.json"), "w") as f:
+        json.dump(meta, f, indent=2)
+
+
+def load_exported(path: str):
+    """Load an :func:`export_model` artifact.
+
+    Returns ``(fn, metadata)`` where ``fn(images)`` is a jit-compiled
+    callable (re-traceable on any platform the artifact was lowered
+    for) and ``metadata`` is the saved dict.
+    """
+    import json
+    import os
+
+    from jax import export as jax_export
+
+    with open(os.path.join(path, "model.stablehlo"), "rb") as f:
+        exported = jax_export.deserialize(f.read())
+    with open(os.path.join(path, "metadata.json")) as f:
+        meta = json.load(f)
+    return jax.jit(exported.call), meta

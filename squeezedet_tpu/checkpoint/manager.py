@@ -51,19 +51,36 @@ class CheckpointManager:
     def _path(self, step: int) -> str:
         return os.path.join(self.directory, "model.ckpt-{}".format(step))
 
-    def save(self, step: int, tree: Any) -> str:
+    def save(self, step: int, tree: Any, wait: bool = True) -> str:
+        """Write ``model.ckpt-<step>``.
+
+        ``wait=False`` overlaps the write with subsequent training:
+        orbax finalizes asynchronously into a tmp directory and renames
+        atomically, and :func:`latest_step`'s anchored pattern never
+        matches tmp names, so a polling eval daemon only ever sees
+        finalized steps either way.  Callers passing host arrays (the
+        train loop device_gets the state first) need no further care;
+        call :meth:`wait_until_finished` before process exit so the
+        last step isn't lost.
+        """
         path = self._path(step)
         if self._ckptr is not None:
-            self._ckptr.save(path, tree, force=True)
-            # StandardCheckpointer is async; block so the eval daemon never
-            # sees a half-written step directory.
+            # serialize with any in-flight async save (orbax allows one)
             self._ckptr.wait_until_finished()
+            self._ckptr.save(path, tree, force=True)
+            if wait:
+                self._ckptr.wait_until_finished()
         else:  # pragma: no cover
             os.makedirs(path, exist_ok=True)
             flat, treedef = jax.tree_util.tree_flatten(tree)
             np.savez(os.path.join(path, "arrays.npz"),
                      *[np.asarray(x) for x in flat])
         return path
+
+    def wait_until_finished(self) -> None:
+        """Block until any async :meth:`save` has finalized."""
+        if self._ckptr is not None:
+            self._ckptr.wait_until_finished()
 
     def restore(self, step: int, like: Any) -> Any:
         path = self._path(step)

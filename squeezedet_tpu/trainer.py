@@ -458,7 +458,11 @@ def train(det: Detector, imdb, *, train_dir: str, max_steps: int,
                 state = TrainState(params=jax.device_get(params),
                                    opt_state=jax.device_get(opt_state),
                                    step=step + 1)
-                ckpt.save(step, state.as_tree())
+                # async for intermediate steps: the ~50 MB write overlaps
+                # the next train steps; the final step blocks so the
+                # returned state is durable before the loop exits.
+                ckpt.save(step, state.as_tree(),
+                          wait=(step + 1) == max_steps)
                 np.savez(os.path.join(
                     train_dir, "sampler.ckpt-{}.npz".format(step)),
                     **imdb.sampler_state())
@@ -470,3 +474,4 @@ def train(det: Detector, imdb, *, train_dir: str, max_steps: int,
         if step_tracer is not None:
             step_tracer.close()
         loader.stop()
+        ckpt.wait_until_finished()

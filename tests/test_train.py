@@ -550,3 +550,23 @@ def test_train_resume_restores_sampler(kitti_root, cfg, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "Resumed from step 2" in out
     assert "Restored input-stream state (sampler.ckpt-1.npz)" in out
+
+
+def test_async_checkpoint_save_finalizes(cfg, tmp_path):
+    """wait=False saves finalize atomically: after wait_until_finished
+    the step restores bit-identically, and no tmp dir is ever visible
+    to latest_step."""
+    from squeezedet_tpu.checkpoint.manager import (CheckpointManager,
+                                                   latest_step)
+    det = get_model("squeezeDet", cfg)
+    params, _, _ = det.init(jax.random.key(0))
+    tree = {"params": jax.device_get(params),
+            "step": np.asarray(3, np.int64)}
+    mgr = CheckpointManager(str(tmp_path))
+    mgr.save(3, tree, wait=False)
+    mgr.wait_until_finished()
+    assert latest_step(str(tmp_path)) == 3
+    restored = mgr.restore(3, tree)
+    for a, b in zip(jax.tree_util.tree_leaves(tree),
+                    jax.tree_util.tree_leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(b), np.asarray(a))

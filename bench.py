@@ -31,7 +31,6 @@ def bench(batch_size: int = 128, iters: int = 30, warmup: int = 5,
 
     from squeezedet_tpu.config import config_for_net
     from squeezedet_tpu.models import get_model
-    from squeezedet_tpu.ops.postprocess import filter_prediction_device
 
     cfg = config_for_net(net).replace(
         load_pretrained_model=False, batch_size=batch_size,
@@ -58,10 +57,7 @@ def bench(batch_size: int = 128, iters: int = 30, warmup: int = 5,
                 interp = det.predict(p, x)
             if not postprocess:
                 return interp
-            return filter_prediction_device(
-                interp.det_boxes, interp.det_probs, interp.det_class,
-                top_n=cfg.top_n_detection, nms_thresh=cfg.nms_thresh,
-                num_classes=cfg.classes, prob_thresh=cfg.prob_thresh)
+            return det.postprocess_device(interp)
         return jax.jit(fn)
 
     input_format = None

@@ -100,8 +100,10 @@ class Imdb:
         where it left off instead of restarting the epoch (the reference
         restarts the stream on resume, train.py:243-245).  With a
         prefetch depth > 0 the snapshot can run up to the queue capacity
-        ahead of the batches the train step actually consumed; a
-        single-thread, capacity-1 loader makes resume exact."""
+        (plus in-flight batches) ahead of the batches the train step
+        actually consumed — resume never replays a consumed batch, it
+        can only skip part of the prefetch lead; shrinking threads and
+        capacity shrinks that lead."""
         with self._lock:
             key, pos, has_gauss, cached = self._rng.get_state()[1:]
             perm = getattr(self, "_perm_order", None)
@@ -174,16 +176,26 @@ class Imdb:
         """
         mc = self.mc
         dx = dy = 0
-        if mc.drift_x > 0 or mc.drift_y > 0:
-            # largest drift that keeps every GT box inside the image
-            # (imdb.py:155-162)
-            max_drift_x = min(gt_bbox[:, 0] - gt_bbox[:, 2] / 2.0 + 1)
-            max_drift_y = min(gt_bbox[:, 1] - gt_bbox[:, 3] / 2.0 + 1)
-            assert max_drift_x >= 0 and max_drift_y >= 0, 'bbox out of image'
-            dy = self._rng.randint(-mc.drift_y,
-                                   min(mc.drift_y + 1, max_drift_y))
-            dx = self._rng.randint(-mc.drift_x,
-                                   min(mc.drift_x + 1, max_drift_x))
+        drift = mc.drift_x > 0 or mc.drift_y > 0
+        # Draw every RNG value under the sampler lock: the reference
+        # draws unlocked from 4 threads (benign only under the GIL,
+        # SURVEY §5.2), and sampler_state() snapshots the RNG — an
+        # unlocked draw racing the snapshot would tear the saved MT
+        # state.  Draw order stays dy, dx, flip.
+        with self._lock:
+            if drift:
+                # largest drift that keeps every GT box inside the image
+                # (imdb.py:155-162)
+                max_drift_x = min(gt_bbox[:, 0] - gt_bbox[:, 2] / 2.0 + 1)
+                max_drift_y = min(gt_bbox[:, 1] - gt_bbox[:, 3] / 2.0 + 1)
+                assert max_drift_x >= 0 and max_drift_y >= 0, \
+                    'bbox out of image'
+                dy = self._rng.randint(-mc.drift_y,
+                                       min(mc.drift_y + 1, max_drift_y))
+                dx = self._rng.randint(-mc.drift_x,
+                                       min(mc.drift_x + 1, max_drift_x))
+            flip = self._rng.randint(2) > 0.5
+        if drift:
             gt_bbox[:, 0] -= dx
             gt_bbox[:, 1] -= dy
             orig_h -= dy
@@ -207,7 +219,6 @@ class Imdb:
                 shifted[dist_y:, dist_x:, :] = im[orig_y:, orig_x:, :]
                 im = shifted
 
-        flip = self._rng.randint(2) > 0.5
         if flip:
             if im is not None:
                 im = im[:, ::-1, :]

@@ -53,6 +53,7 @@ class Detector:
 
     cfg: ModelConfig
     backbone: Any
+    net: str = ""  # reference net name ('squeezeDet', ...), set by get_model
     _anchors: jnp.ndarray = field(init=False, repr=False)
 
     def __post_init__(self):
@@ -222,6 +223,21 @@ class Detector:
             self.backbone.apply(params, images, cfg,
                                 train=False).astype(jnp.float32))
 
+    def postprocess_device(self, interp: Interpretation):
+        """On-device top-K + per-class NMS with this model's thresholds.
+
+        The single home for the filter_prediction_device plumbing —
+        every consumer (predict_postprocessed, the serving/export
+        paths, spatial inference, bench) routes through here so the
+        threshold wiring cannot drift between copies.
+        """
+        from squeezedet_tpu.ops.postprocess import filter_prediction_device
+        cfg = self.cfg
+        return filter_prediction_device(
+            interp.det_boxes, interp.det_probs, interp.det_class,
+            top_n=cfg.top_n_detection, nms_thresh=cfg.nms_thresh,
+            num_classes=cfg.classes, prob_thresh=cfg.prob_thresh)
+
     def predict_postprocessed(self, params, images):
         """Fully on-device inference: forward + decode + top-k + NMS.
 
@@ -229,13 +245,11 @@ class Detector:
         keep [B,K]) — the TPU-native replacement for the reference's
         numpy filter_prediction.
         """
-        from squeezedet_tpu.ops.postprocess import filter_prediction_device
-        interp = self.predict(params, images)
-        cfg = self.cfg
-        return filter_prediction_device(
-            interp.det_boxes, interp.det_probs, interp.det_class,
-            top_n=cfg.top_n_detection, nms_thresh=cfg.nms_thresh,
-            num_classes=cfg.classes, prob_thresh=cfg.prob_thresh)
+        return self.postprocess_device(self.predict(params, images))
+
+    def predict_raw_postprocessed(self, params, images_u8):
+        """uint8 serving twin of :meth:`predict_postprocessed`."""
+        return self.postprocess_device(self.predict_raw(params, images_u8))
 
 
 def get_model(net: str, cfg: Optional[ModelConfig] = None) -> Detector:
@@ -246,4 +260,4 @@ def get_model(net: str, cfg: Optional[ModelConfig] = None) -> Detector:
     if cfg is None:
         from squeezedet_tpu.config import config_for_net
         cfg = config_for_net(net)
-    return Detector(cfg=cfg, backbone=_BACKBONES[net])
+    return Detector(cfg=cfg, backbone=_BACKBONES[net], net=net)

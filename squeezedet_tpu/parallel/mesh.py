@@ -89,6 +89,21 @@ def shard_batch(mesh: Mesh, tree, axis_name: str = "data"):
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
 
 
+def shard_images(mesh: Mesh, images):
+    """Device-put an NHWC image batch with :func:`image_sharding` —
+    batch over ``data`` plus height over ``spatial`` when present, so
+    the placement already matches a 2-D train step's in_shardings and
+    jit inserts no per-step reshard copy."""
+    return jax.device_put(images, image_sharding(mesh))
+
+
+def shard_images_multihost(mesh: Mesh, images):
+    """Multi-process variant of :func:`shard_images` (each process
+    passes its local batch shard)."""
+    return jax.make_array_from_process_local_data(
+        image_sharding(mesh), np.asarray(images))
+
+
 def shard_batch_multihost(mesh: Mesh, tree, axis_name: str = "data"):
     """Multi-process variant of :func:`shard_batch`.
 

@@ -42,9 +42,6 @@ def spatial_predict_fn(det, mesh, postprocess: bool = True,
     top-K + NMS (ops/postprocess.py); otherwise it returns the raw
     interpretation tuple ``(det_boxes, det_probs, det_class)``.
     """
-    from squeezedet_tpu.ops.postprocess import filter_prediction_device
-
-    cfg = det.cfg
     rep = replicated_sharding(mesh)
     imgs = image_sharding(mesh)
 
@@ -55,9 +52,6 @@ def spatial_predict_fn(det, mesh, postprocess: bool = True,
             interp = det.predict(params, images)
         if not postprocess:
             return interp.det_boxes, interp.det_probs, interp.det_class
-        return filter_prediction_device(
-            interp.det_boxes, interp.det_probs, interp.det_class,
-            top_n=cfg.top_n_detection, nms_thresh=cfg.nms_thresh,
-            num_classes=cfg.classes, prob_thresh=cfg.prob_thresh)
+        return det.postprocess_device(interp)
 
     return jax.jit(fn, in_shardings=(rep, imgs), out_shardings=rep)

@@ -27,20 +27,12 @@ def negotiated_inference_fn(det, batch_size: int,
     Returns ``(fn, input_format)``: call ``fn(params, images)`` where
     ``images`` was placed with ``jax.device_put(np_u8, input_format)``.
     """
-    import jax.numpy as jnp
     import numpy as np
 
     from jax._src.layout import AutoLayout, Format
-    from squeezedet_tpu.ops.postprocess import filter_prediction_device
 
     cfg = det.cfg
-
-    def fn(p, im):
-        interp = det.predict_raw(p, im)
-        return filter_prediction_device(
-            interp.det_boxes, interp.det_probs, interp.det_class,
-            top_n=cfg.top_n_detection, nms_thresh=cfg.nms_thresh,
-            num_classes=cfg.classes, prob_thresh=cfg.prob_thresh)
+    fn = det.predict_raw_postprocessed
 
     spec = jax.ShapeDtypeStruct(
         (batch_size, cfg.image_height, cfg.image_width, 3), np.uint8)
@@ -76,8 +68,6 @@ def export_model(det, params, path: str, *, batch_size: int = 1,
     import numpy as np
     from jax import export as jax_export
 
-    from squeezedet_tpu.ops.postprocess import filter_prediction_device
-
     cfg = det.cfg
 
     def fn(images):
@@ -87,10 +77,7 @@ def export_model(det, params, path: str, *, batch_size: int = 1,
             interp = det.predict(params, images)
         if not postprocess:
             return (interp.det_boxes, interp.det_probs, interp.det_class)
-        boxes, probs, classes, keep = filter_prediction_device(
-            interp.det_boxes, interp.det_probs, interp.det_class,
-            top_n=cfg.top_n_detection, nms_thresh=cfg.nms_thresh,
-            num_classes=cfg.classes, prob_thresh=cfg.prob_thresh)
+        boxes, probs, classes, keep = det.postprocess_device(interp)
         return (boxes, probs, classes, keep)
 
     spec = jax.ShapeDtypeStruct(
@@ -102,7 +89,7 @@ def export_model(det, params, path: str, *, batch_size: int = 1,
     with open(os.path.join(path, "model.stablehlo"), "wb") as f:
         f.write(exported.serialize())
     meta = {
-        "net": type(det).__name__,
+        "net": det.net or type(det).__name__,
         "class_names": list(cfg.class_names),
         "image_height": cfg.image_height,
         "image_width": cfg.image_width,

@@ -28,7 +28,8 @@ from squeezedet_tpu.models import Detector
 from squeezedet_tpu.models.skeleton import Targets
 from squeezedet_tpu.optim import build_optimizer, learning_rate_at
 from squeezedet_tpu.parallel.mesh import (batch_sharding, image_sharding,
-                                          replicated_sharding, shard_batch)
+                                          replicated_sharding, shard_batch,
+                                          shard_images)
 
 
 @dataclass
@@ -147,6 +148,17 @@ def make_train_step_device(det: Detector, tx, mesh=None,
         kwargs["in_shardings"] = (rep, rep, imgs, data, data, data, rep)
         kwargs["out_shardings"] = (rep, rep, rep)
     return jax.jit(step_fn, **kwargs)
+
+
+def _sampler_ckpt_path(train_dir: str, step: int) -> str:
+    """Input-stream snapshot path for a checkpoint step.  Multi-host
+    runs feed disjoint local shards, so every controller saves and
+    restores its own per-process file (one shared path would race and
+    collapse the hosts' cursors into one stream)."""
+    suffix = "" if jax.process_count() == 1 else \
+        ".p{}".format(jax.process_index())
+    return os.path.join(train_dir,
+                        "sampler.ckpt-{}{}.npz".format(step, suffix))
 
 
 def viz_prediction_images(det: Detector, params, images_np, targets,
@@ -272,12 +284,16 @@ def train(det: Detector, imdb, *, train_dir: str, max_steps: int,
             state = TrainState.from_tree(restored)
             print("Resumed from step {}".format(state.step))
             # continue the input stream where the checkpoint left it
-            # (epoch permutation + cursor + augmentation RNG)
-            sampler_file = os.path.join(
-                train_dir, "sampler.ckpt-{}.npz".format(step))
+            # (epoch permutation + cursor + augmentation RNG + the
+            # step-RNG key, so dropout draws also continue the
+            # uninterrupted trajectory)
+            sampler_file = _sampler_ckpt_path(train_dir, step)
             if os.path.exists(sampler_file):
                 with np.load(sampler_file) as data:
                     imdb.set_sampler_state(dict(data))
+                    if "jax_rng_key" in data:
+                        rng = jax.random.wrap_key_data(
+                            jnp.asarray(data["jax_rng_key"]))
                 print("Restored input-stream state ({})".format(
                     os.path.basename(sampler_file)))
 
@@ -356,17 +372,20 @@ def train(det: Detector, imdb, *, train_dir: str, max_steps: int,
                 # seed or same restored checkpoint); each host's loader
                 # then feeds its own local shard of the global batch.
                 from squeezedet_tpu.parallel.mesh import (
-                    replicate_multihost, shard_batch_multihost)
+                    replicate_multihost, shard_batch_multihost,
+                    shard_images_multihost)
                 params = replicate_multihost(mesh,
                                              jax.device_get(params))
                 opt_state = replicate_multihost(
                     mesh, jax.device_get(opt_state))
                 _shard_batch = shard_batch_multihost
+                _shard_images = shard_images_multihost
             else:
                 rep = replicated_sharding(mesh)
                 params = jax.device_put(params, rep)
                 opt_state = jax.device_put(opt_state, rep)
                 _shard_batch = shard_batch
+                _shard_images = shard_images
         for step in range(state.step, max_steps):
             if step_tracer is not None:
                 step_tracer.on_step(step)
@@ -374,10 +393,17 @@ def train(det: Detector, imdb, *, train_dir: str, max_steps: int,
             rng, step_rng = jax.random.split(rng)
             if device_assign:
                 images, gt_boxes, gt_labels, num_gt = loader.get()
-                batch = (jnp.asarray(images), jnp.asarray(gt_boxes),
-                         jnp.asarray(gt_labels), jnp.asarray(num_gt))
                 if mesh is not None:
-                    batch = _shard_batch(mesh, batch)
+                    # images get the (data[, spatial]) placement the
+                    # step's in_shardings expect; anchor-space targets
+                    # shard over 'data' only
+                    batch = (_shard_images(mesh, images),) + _shard_batch(
+                        mesh, (jnp.asarray(gt_boxes),
+                               jnp.asarray(gt_labels),
+                               jnp.asarray(num_gt)))
+                else:
+                    batch = (jnp.asarray(images), jnp.asarray(gt_boxes),
+                             jnp.asarray(gt_labels), jnp.asarray(num_gt))
                 params, opt_state, lb = train_step(
                     params, opt_state, *batch, step_rng)
                 targets = None
@@ -385,7 +411,7 @@ def train(det: Detector, imdb, *, train_dir: str, max_steps: int,
                 images, targets = loader.get()
                 images = jnp.asarray(images)
                 if mesh is not None:
-                    images = _shard_batch(mesh, images)
+                    images = _shard_images(mesh, images)
                     targets = _shard_batch(mesh, targets)
                 params, opt_state, lb = train_step(
                     params, opt_state, images, targets, step_rng)
@@ -463,9 +489,9 @@ def train(det: Detector, imdb, *, train_dir: str, max_steps: int,
                 # returned state is durable before the loop exits.
                 ckpt.save(step, state.as_tree(),
                           wait=(step + 1) == max_steps)
-                np.savez(os.path.join(
-                    train_dir, "sampler.ckpt-{}.npz".format(step)),
-                    **imdb.sampler_state())
+                np.savez(_sampler_ckpt_path(train_dir, step),
+                         jax_rng_key=np.asarray(jax.random.key_data(rng)),
+                         **imdb.sampler_state())
         state = TrainState(params=jax.device_get(params),
                            opt_state=jax.device_get(opt_state),
                            step=max_steps)

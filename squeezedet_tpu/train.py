@@ -73,6 +73,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         'host-to-device traffic; equivalent to the f32 '
                         'path within bf16 resolution). Requires '
                         '--device_assign.')
+    p.add_argument('--steps_per_dispatch', type=int, default=1,
+                   help='Fuse K train steps into one scanned device '
+                        'program (amortizes dispatch/transfer overhead '
+                        'on tunnel- or PCIe-attached hosts). Requires '
+                        '--device_assign; viz/histogram summaries need '
+                        'K=1.')
     p.add_argument('--profile_steps', default='',
                    help="Capture a jax profiler trace, e.g. '20:25' "
                         "traces steps 20..24 into <train_dir>/profile.")
@@ -156,7 +162,8 @@ def main(argv=None):
           device_assign=args.device_assign,
           histogram_step=args.histogram_step,
           activation_summary=args.activation_summary,
-          uint8_ingest=args.uint8_ingest)
+          uint8_ingest=args.uint8_ingest,
+          steps_per_dispatch=args.steps_per_dispatch)
     writer.close()
 
 

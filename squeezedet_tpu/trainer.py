@@ -161,6 +161,79 @@ def _sampler_ckpt_path(train_dir: str, step: int) -> str:
                         "sampler.ckpt-{}{}.npz".format(step, suffix))
 
 
+def make_train_step_device_scan(det: Detector, tx, k: int, mesh=None,
+                                donate: bool = True,
+                                uint8_ingest: bool = False):
+    """K device-matcher train steps fused into ONE device program via
+    ``lax.scan`` (--steps_per_dispatch).
+
+    Amortizes per-dispatch overhead — host round-trip, transfer
+    latency, dispatch bookkeeping — across K steps: the host ships
+    [K, B, ...] stacked batches once and gets the params back after K
+    updates.  Numerically identical to K single dispatches when fed the
+    same per-step RNG keys (pinned by test_train); the measured chain
+    experiments behind PARITY.md's device-time numbers used exactly
+    this construction.
+
+    Signature: (params, opt_state, images [K,B,H,W,3],
+    gt_boxes [K,B,G,4], gt_labels [K,B,G], num_gt [K,B],
+    step_rngs [K]) -> (params, opt_state, LossBreakdown with [K]
+    leaves, scan order).
+    """
+    from squeezedet_tpu.data.device_pipeline import (assign_anchors_device,
+                                                     normalize_images)
+    from squeezedet_tpu.optim import (grads_with_frozen_zeros,
+                                      merge_params, partition_params)
+
+    anchors = jnp.asarray(det.cfg.anchor_box, jnp.float32)
+    num_classes = det.cfg.classes
+    mask = det._trainable_mask_cache(None)
+
+    def one_step(carry, xs):
+        params, opt_state = carry
+        images, gt_boxes, gt_labels, num_gt, rng = xs
+        if uint8_ingest:
+            images = normalize_images(images, det.cfg.bgr_means,
+                                      jnp.dtype(det.cfg.compute_dtype))
+        targets = assign_anchors_device(anchors, gt_boxes, gt_labels,
+                                        num_gt, num_classes)
+        trainable, frozen = partition_params(params, mask)
+
+        def loss_fn(tp):
+            lb = det.loss(merge_params(tp, frozen), images, targets,
+                          rng=rng, train=True)
+            return lb.total, lb
+
+        grads_t, lb = jax.grad(loss_fn, has_aux=True)(trainable)
+        grads = grads_with_frozen_zeros(grads_t, params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = jax.tree.map(lambda p, u: p + u, params, updates)
+        return (params, opt_state), lb
+
+    def step_fn(params, opt_state, images, gt_boxes, gt_labels, num_gt,
+                step_rngs):
+        (params, opt_state), lbs = jax.lax.scan(
+            one_step, (params, opt_state),
+            (images, gt_boxes, gt_labels, num_gt, step_rngs))
+        return params, opt_state, lbs
+
+    kwargs = {}
+    if donate:
+        kwargs["donate_argnums"] = (0, 1)
+    if mesh is not None:
+        rep = replicated_sharding(mesh)
+        if "spatial" in mesh.axis_names:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            imgs = NamedSharding(mesh, P(None, "data", "spatial"))
+            data = NamedSharding(mesh, P(None, "data"))
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            imgs = data = NamedSharding(mesh, P(None, "data"))
+        kwargs["in_shardings"] = (rep, rep, imgs, data, data, data, rep)
+        kwargs["out_shardings"] = (rep, rep, rep)
+    return jax.jit(step_fn, **kwargs)
+
+
 def viz_prediction_images(det: Detector, params, images_np, targets,
                           max_images: int = 8):
     """Draw GT (green) + filtered predictions (red/class colors) on the
@@ -254,7 +327,8 @@ def train(det: Detector, imdb, *, train_dir: str, max_steps: int,
           device_assign: bool = False, max_gt: int = 48,
           histogram_step: int = 0,
           activation_summary: bool = False,
-          uint8_ingest: bool = False) -> TrainState:
+          uint8_ingest: bool = False,
+          steps_per_dispatch: int = 1) -> TrainState:
     """Full training loop (reference train.py:102-335)."""
     cfg = det.cfg
     os.makedirs(train_dir, exist_ok=True)
@@ -262,6 +336,10 @@ def train(det: Detector, imdb, *, train_dir: str, max_steps: int,
         raise ValueError("--uint8_ingest requires --device_assign (the "
                          "dense-target path feeds mean-subtracted f32 "
                          "images like the reference)")
+    if steps_per_dispatch > 1 and not device_assign:
+        raise ValueError("--steps_per_dispatch > 1 requires "
+                         "--device_assign (the scanned program fuses "
+                         "the anchor matcher per step)")
 
     rng = jax.random.key(seed)
     rng, init_rng = jax.random.split(rng)
@@ -365,6 +443,10 @@ def train(det: Detector, imdb, *, train_dir: str, max_steps: int,
     try:
         params, opt_state = state.params, state.opt_state
         multihost = jax.process_count() > 1
+        if steps_per_dispatch > 1 and multihost:
+            raise ValueError("--steps_per_dispatch > 1 is single-"
+                             "controller only (stack the global batch "
+                             "per host first)")
         if mesh is not None:
             if multihost:
                 # multi-controller: params/opt replicated as global
@@ -386,6 +468,91 @@ def train(det: Detector, imdb, *, train_dir: str, max_steps: int,
                 opt_state = jax.device_put(opt_state, rep)
                 _shard_batch = shard_batch
                 _shard_images = shard_images
+        if steps_per_dispatch > 1:
+            # Scanned multi-step dispatches: K steps per device program
+            # (make_train_step_device_scan).  Cadences are evaluated per
+            # covered step; host-side viz/histograms are a K=1 concern
+            # (use --steps_per_dispatch 1 when debugging visually).
+            K = steps_per_dispatch
+            scan_step = make_train_step_device_scan(
+                det, tx, K, mesh=mesh, uint8_ingest=uint8_ingest)
+            single_step = None
+            step = state.step
+            while step < max_steps:
+                start_time = time.time()
+                if step + K <= max_steps:
+                    batches = [loader.get() for _ in range(K)]
+                    stacked = [np.stack([b[i] for b in batches])
+                               for i in range(4)]
+                    rngs = []
+                    for _ in range(K):
+                        rng, r = jax.random.split(rng)
+                        rngs.append(r)
+                    params, opt_state, lbs = scan_step(
+                        params, opt_state, *stacked, jnp.stack(rngs))
+                    k_done = K
+                else:  # tail smaller than K: single-step dispatches
+                    if single_step is None:
+                        single_step = train_step
+                    images, gt_boxes, gt_labels, num_gt = loader.get()
+                    rng, r = jax.random.split(rng)
+                    params, opt_state, lb1 = single_step(
+                        params, opt_state, jnp.asarray(images),
+                        jnp.asarray(gt_boxes), jnp.asarray(gt_labels),
+                        jnp.asarray(num_gt), r)
+                    lbs = jax.tree.map(lambda x: jnp.asarray(x)[None],
+                                       lb1)
+                    k_done = 1
+                covered = range(step, step + k_done)
+                totals = np.asarray(lbs.total)
+                assert not np.isnan(totals).any(), (
+                    'Model diverged. Losses in dispatch [{}..{}]: '
+                    '{}'.format(step, step + k_done - 1, totals))
+                last = step + k_done - 1
+                lb_last = jax.tree.map(lambda x: np.asarray(x)[-1], lbs)
+                if any(s % log_every == 0 for s in covered):
+                    duration = time.time() - start_time
+                    print('%s: step %d, loss = %.2f (%.1f images/sec; '
+                          '%.3f sec/%d-step dispatch)' % (
+                              datetime.now(), last, float(lb_last.total),
+                              cfg.batch_size * k_done / duration,
+                              duration, k_done))
+                    sys.stdout.flush()
+                if summary_writer is not None and \
+                        any(s % summary_step == 0 for s in covered):
+                    summary_writer.scalar("loss/total_loss",
+                                          float(lb_last.total), last)
+                    summary_writer.scalar("loss/confidence_loss",
+                                          float(lb_last.conf_loss), last)
+                    summary_writer.scalar("loss/bounding_box_loss",
+                                          float(lb_last.bbox_loss), last)
+                    summary_writer.scalar("loss/class_loss",
+                                          float(lb_last.class_loss), last)
+                    summary_writer.scalar("mean_iou",
+                                          float(lb_last.mean_iou), last)
+                    summary_writer.scalar("learning_rate",
+                                          learning_rate_at(cfg, last),
+                                          last)
+                step += k_done
+                if any(s % checkpoint_step == 0 for s in covered) or \
+                        step == max_steps:
+                    assert np.isfinite(totals).all(), (
+                        'Model diverged (losses = {}); refusing to '
+                        'checkpoint at step {}'.format(totals, step))
+                    state = TrainState(params=jax.device_get(params),
+                                       opt_state=jax.device_get(opt_state),
+                                       step=step)
+                    ckpt.save(step - 1, state.as_tree(),
+                              wait=step == max_steps)
+                    np.savez(
+                        _sampler_ckpt_path(train_dir, step - 1),
+                        jax_rng_key=np.asarray(jax.random.key_data(rng)),
+                        **imdb.sampler_state())
+            state = TrainState(params=jax.device_get(params),
+                               opt_state=jax.device_get(opt_state),
+                               step=max_steps)
+            return state
+
         for step in range(state.step, max_steps):
             if step_tracer is not None:
                 step_tracer.on_step(step)

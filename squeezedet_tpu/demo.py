@@ -35,6 +35,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument('--out_dir', default='./data/out/')
     p.add_argument('--demo_net', default='squeezeDet')
     p.add_argument('--compute_dtype', default='')
+    p.add_argument('--compilation_cache', default='',
+                   help='Persistent XLA compilation cache dir.')
     return p
 
 
@@ -167,6 +169,9 @@ def video_demo(args):
 
 def main(argv=None):
     args = build_arg_parser().parse_args(argv)
+    if args.compilation_cache:
+        from squeezedet_tpu.utils.util import enable_compilation_cache
+        enable_compilation_cache(args.compilation_cache)
     os.makedirs(args.out_dir, exist_ok=True)
     if args.mode == 'image':
         image_demo(args)

@@ -45,6 +45,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help='Override input height (0 = model default).')
     p.add_argument('--native_loader', action='store_true',
                    help='Use the C++ threaded batch loader for image IO.')
+    p.add_argument('--compilation_cache', default='',
+                   help='Persistent XLA compilation cache dir.')
     p.add_argument('--plot_pr', action='store_true',
                    help='Render recall/precision curve images from the '
                         'scorer plot data (matplotlib stand-in for the '
@@ -187,6 +189,9 @@ def eval_checkpoint(det, imdb, params, global_step, *, eval_dir,
 def main(argv=None):
     args = build_arg_parser().parse_args(argv)
     assert args.dataset == 'KITTI', 'Currently only supports KITTI dataset'
+    if args.compilation_cache:
+        from squeezedet_tpu.utils.util import enable_compilation_cache
+        enable_compilation_cache(args.compilation_cache)
 
     import jax
 

@@ -94,6 +94,21 @@ def detect_all(det, imdb, params, batch_size: int):
 
         def predict(p, images):
             return predict_jit(p, shard_batch(mesh, images))
+    elif len(jax.devices()) > 1:
+        # batch-1 — the reference protocol (eval.py:150-166): instead of
+        # idling all but one chip, shard the image height over every
+        # device (spatial partitioning; XLA inserts the conv halo
+        # exchanges, tests/test_spatial.py pins the numerics).
+        from squeezedet_tpu.parallel.mesh import (image_sharding,
+                                                  make_mesh_2d,
+                                                  replicated_sharding)
+        smesh = make_mesh_2d(1, len(jax.devices()))
+        print('Evaluating spatially over {} devices'.format(
+            smesh.devices.size))
+        rep = replicated_sharding(smesh)
+        params = jax.device_put(params, rep)
+        predict = jax.jit(det.predict, in_shardings=(
+            rep, image_sharding(smesh)), out_shardings=rep)
     else:
         predict = jax.jit(det.predict)
 

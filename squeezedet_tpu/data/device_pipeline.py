@@ -177,3 +177,20 @@ def make_device_train_batch(anchors, images_u8, gt_boxes, gt_labels,
     targets = assign_anchors_device(anchors, gt_boxes, gt_labels, num_gt,
                                     num_classes)
     return images, targets
+
+
+def ingest_and_assign(det, images, gt_boxes, gt_labels, num_gt,
+                      uint8_ingest: bool):
+    """The train-step ingest: optional fused uint8 normalization plus
+    the in-graph anchor matcher.  One home for the sequence shared by
+    the single-step and scanned train steps and the histogram grad fn
+    (trainer.py) — the ingest and freeze semantics must never drift
+    between them.  Returns (images, Targets)."""
+    cfg = det.cfg
+    if uint8_ingest:
+        images = normalize_images(images, cfg.bgr_means,
+                                  jnp.dtype(cfg.compute_dtype))
+    targets = assign_anchors_device(
+        jnp.asarray(cfg.anchor_box, jnp.float32), gt_boxes, gt_labels,
+        num_gt, cfg.classes)
+    return images, targets

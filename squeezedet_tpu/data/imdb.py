@@ -93,6 +93,25 @@ class Imdb:
         self._perm_idx = [self._image_idx[i] for i in perm]
         self._cur_idx = 0
 
+    def shard_hosts(self, process_index: int, process_count: int) -> None:
+        """Restrict this imdb to one process's strided shard of the
+        image list.  Multi-host data parallelism needs every controller
+        to contribute a DISJOINT local batch (mesh.shard_batch_multihost
+        concatenates them into the global batch); without sharding, P
+        same-seeded hosts would feed P identical copies."""
+        if process_count <= 1:
+            return
+        with self._lock:
+            self._image_idx = self._image_idx[process_index::process_count]
+            assert self._image_idx, (
+                "host shard {}/{} is empty — fewer images than "
+                "processes".format(process_index, process_count))
+        self._shuffle_image_idx_locked()
+
+    def _shuffle_image_idx_locked(self):
+        with self._lock:
+            self._shuffle_image_idx()
+
     def sampler_state(self) -> Dict[str, np.ndarray]:
         """Snapshot of the input-stream position as plain arrays: the
         epoch permutation, the cursor, and the augmentation RNG.  Saved

@@ -28,8 +28,10 @@ from squeezedet_tpu.ops.boxes import batch_iou
 
 
 def _int_text(node, tag: str, default: int = 0) -> int:
+    """int() via float(): labeling tools commonly emit decimal
+    coordinates ('<xmin>156.00</xmin>'), which int() rejects."""
     child = node.find(tag)
-    return int(child.text) if child is not None else default
+    return int(float(child.text)) if child is not None else default
 
 
 def parse_rec(filename: str) -> List[dict]:

@@ -120,12 +120,19 @@ class Detector:
         """Five-stat activation summary data per layer
         (nn_skeleton.py:736-755): {layer: {'sample', 'sparsity', 'mean',
         'max', 'min'}}.  Everything is reduced on device; 'sample' is a
-        uniform-stride subsample (<= ``sample`` elements) for the host
-        histogram writer, so the transfer stays small at any batch size.
+        uniform-stride subsample (~``sample`` elements, at most 2x —
+        the stride rounds down) for the host histogram writer, so the
+        transfer stays small at any batch size.
         Also includes the decoded box coordinates ('det_boxes/<coord>'),
         which the reference instruments at nn_skeleton.py:203-233.
         """
-        fn = getattr(self, "_act_stats_fn", None)
+        cache = getattr(self, "_act_stats_fns", None)
+        if cache is None:
+            cache = {}
+            object.__setattr__(self, "_act_stats_fns", cache)
+        # keyed by the sample budget: the stride is baked into the
+        # jitted program, so one cached fn per distinct `sample`
+        fn = cache.get(sample)
         if fn is None:
             def build(params, images):
                 dtype = jnp.dtype(self.cfg.compute_dtype)
@@ -150,7 +157,7 @@ class Detector:
                     }
                 return out
             fn = jax.jit(build)
-            object.__setattr__(self, "_act_stats_fn", fn)
+            cache[sample] = fn
         return jax.device_get(fn(params, images))
 
     # -- loss ---------------------------------------------------------------

@@ -14,6 +14,7 @@
 
 #include <atomic>
 #include <cstring>
+#include <mutex>
 #include <thread>
 #include <vector>
 
@@ -87,13 +88,17 @@ int RunBatch(const std::vector<Job>& jobs, int out_w, int out_h,
   std::atomic<int> status(0);
   const size_t stride = static_cast<size_t>(out_w) * out_h * 3;
 
-  // cv::setNumThreads is process-global, not per-thread: disable
-  // OpenCV-internal parallelism for the pool's duration (so the pool
-  // scales with images, not within one image) and restore the previous
-  // value afterwards — other cv2 users in the process (demo, viz, the
-  // Python fallback path) must keep their parallelism.
-  const int prev_cv_threads = cv::getNumThreads();
-  cv::setNumThreads(0);
+  // cv::setNumThreads is process-global, not per-thread.  Disable
+  // OpenCV-internal parallelism ONCE per process so the pool scales
+  // with images, not within one image.  A save/restore around each
+  // batch would race when PrefetchLoader calls RunBatch from several
+  // producer threads (one batch's restore re-enables intra-image
+  // threading mid-flight for another, and an interleaved save can
+  // capture 0 as the value to "restore").  The trade-off — OpenCV
+  // intra-op threading stays off for later cv2 users in this process —
+  // is deterministic and documented in PARITY.md.
+  static std::once_flag cv_threads_once;
+  std::call_once(cv_threads_once, []() { cv::setNumThreads(0); });
 
   auto worker = [&]() {
     for (;;) {
@@ -111,7 +116,6 @@ int RunBatch(const std::vector<Job>& jobs, int out_w, int out_h,
   pool.reserve(t);
   for (int i = 0; i < t; ++i) pool.emplace_back(worker);
   for (auto& th : pool) th.join();
-  cv::setNumThreads(prev_cv_threads);
   return status.load();
 }
 

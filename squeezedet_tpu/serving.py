@@ -29,14 +29,15 @@ def negotiated_inference_fn(det, batch_size: int,
     """
     import numpy as np
 
-    from jax._src.layout import AutoLayout, Format
-
     cfg = det.cfg
     fn = det.predict_raw_postprocessed
 
     spec = jax.ShapeDtypeStruct(
         (batch_size, cfg.image_height, cfg.image_width, 3), np.uint8)
     try:
+        # private API: inside the try so the fallback below also covers
+        # jax versions where the module moves
+        from jax._src.layout import AutoLayout, Format
         auto = Format(AutoLayout())
         compiled = jax.jit(fn, in_shardings=(None, auto)).lower(
             params, spec).compile()

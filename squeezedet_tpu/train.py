@@ -136,17 +136,32 @@ def main(argv=None):
     if args.compute_dtype:
         cfg = cfg.replace(compute_dtype=args.compute_dtype)
 
-    det = get_model(args.net, cfg)
-    imdb = Kitti(args.image_set, args.data_path, cfg,
-                 rng=np.random.RandomState(args.seed))
+    import jax
 
-    if args.fresh_start and os.path.isdir(args.train_dir):
+    from squeezedet_tpu.parallel.distributed import (initialize_multihost,
+                                                     is_primary_process)
+    initialize_multihost()
+
+    det = get_model(args.net, cfg)
+    # per-process seed: each controller must draw its own shuffle and
+    # augmentations; same-seeded hosts would feed identical shards
+    imdb = Kitti(args.image_set, args.data_path, cfg,
+                 rng=np.random.RandomState(
+                     args.seed + jax.process_index()))
+    if jax.process_count() > 1:
+        # disjoint strided shard of the image list per controller
+        # (cfg.batch_size is the per-host batch; the global batch is
+        # process_count * batch_size)
+        imdb.shard_hosts(jax.process_index(), jax.process_count())
+
+    if args.fresh_start and os.path.isdir(args.train_dir) and \
+            is_primary_process():
         import shutil
         shutil.rmtree(args.train_dir)
     os.makedirs(args.train_dir, exist_ok=True)
-    writer = SummaryWriter(args.train_dir)
-
-    import jax
+    # one event-file writer per job, not per controller
+    writer = SummaryWriter(args.train_dir) if is_primary_process() \
+        else None
     mesh = None
     if args.num_devices:
         mesh = make_mesh(args.num_devices)
@@ -171,7 +186,8 @@ def main(argv=None):
           activation_summary=args.activation_summary,
           uint8_ingest=args.uint8_ingest,
           steps_per_dispatch=args.steps_per_dispatch)
-    writer.close()
+    if writer is not None:
+        writer.close()
 
 
 if __name__ == '__main__':

@@ -107,24 +107,17 @@ def make_train_step_device(det: Detector, tx, mesh=None,
     subtraction (imdb.py:143-144) is fused into the device program —
     4x less host→device traffic and no f32 convert/relayout on entry.
     """
-    from squeezedet_tpu.data.device_pipeline import assign_anchors_device
+    from squeezedet_tpu.data.device_pipeline import ingest_and_assign
     from squeezedet_tpu.optim import (grads_with_frozen_zeros,
                                       merge_params, partition_params)
 
-    anchors = jnp.asarray(det.cfg.anchor_box, jnp.float32)
-    num_classes = det.cfg.classes
     mask = det._trainable_mask_cache(None)
 
     def step_fn(params, opt_state, images, gt_boxes, gt_labels, num_gt,
                 rng):
-        if uint8_ingest:
-            from squeezedet_tpu.data.device_pipeline import (
-                normalize_images)
-            images = normalize_images(
-                images, det.cfg.bgr_means,
-                jnp.dtype(det.cfg.compute_dtype))
-        targets = assign_anchors_device(anchors, gt_boxes, gt_labels,
-                                        num_gt, num_classes)
+        images, targets = ingest_and_assign(det, images, gt_boxes,
+                                            gt_labels, num_gt,
+                                            uint8_ingest)
         trainable, frozen = partition_params(params, mask)
 
         def loss_fn(tp):
@@ -180,23 +173,18 @@ def make_train_step_device_scan(det: Detector, tx, k: int, mesh=None,
     step_rngs [K]) -> (params, opt_state, LossBreakdown with [K]
     leaves, scan order).
     """
-    from squeezedet_tpu.data.device_pipeline import (assign_anchors_device,
-                                                     normalize_images)
+    from squeezedet_tpu.data.device_pipeline import ingest_and_assign
     from squeezedet_tpu.optim import (grads_with_frozen_zeros,
                                       merge_params, partition_params)
 
-    anchors = jnp.asarray(det.cfg.anchor_box, jnp.float32)
-    num_classes = det.cfg.classes
     mask = det._trainable_mask_cache(None)
 
     def one_step(carry, xs):
         params, opt_state = carry
         images, gt_boxes, gt_labels, num_gt, rng = xs
-        if uint8_ingest:
-            images = normalize_images(images, det.cfg.bgr_means,
-                                      jnp.dtype(det.cfg.compute_dtype))
-        targets = assign_anchors_device(anchors, gt_boxes, gt_labels,
-                                        num_gt, num_classes)
+        images, targets = ingest_and_assign(det, images, gt_boxes,
+                                            gt_labels, num_gt,
+                                            uint8_ingest)
         trainable, frozen = partition_params(params, mask)
 
         def loss_fn(tp):
@@ -292,9 +280,10 @@ def write_histograms(summary_writer, params, grads, step: int,
     ``params`` is filtered through ``trainable_mask`` when given."""
     from jax.tree_util import tree_flatten_with_path
 
+    from squeezedet_tpu.optim import partition_params
+
     if trainable_mask is not None:
-        params = jax.tree.map(lambda p, m: p if m else None, params,
-                              trainable_mask)
+        params, _ = partition_params(params, trainable_mask)
     for prefix, tree in (("params", params), ("gradients", grads)):
         if tree is None:
             continue
@@ -414,13 +403,10 @@ def train(det: Detector, imdb, *, train_dir: str, max_steps: int,
         if device_assign:
             def gf(p, images, gt_boxes, gt_labels, num_gt, rng):
                 from squeezedet_tpu.data.device_pipeline import (
-                    assign_anchors_device as assign, normalize_images)
-                if uint8_ingest:
-                    images = normalize_images(
-                        images, cfg.bgr_means,
-                        jnp.dtype(cfg.compute_dtype))
-                tg = assign(anchors_const, gt_boxes, gt_labels, num_gt,
-                            cfg.classes)
+                    ingest_and_assign)
+                images, tg = ingest_and_assign(det, images, gt_boxes,
+                                               gt_labels, num_gt,
+                                               uint8_ingest)
                 return _tgrad(p, lambda q: det.loss(
                     q, images, tg, rng=rng, train=True).total)
         else:
@@ -560,6 +546,10 @@ def train(det: Detector, imdb, *, train_dir: str, max_steps: int,
             rng, step_rng = jax.random.split(rng)
             if device_assign:
                 images, gt_boxes, gt_labels, num_gt = loader.get()
+                # summary/viz/histogram consumers read the host-local
+                # copies: a batch-sharded global array spans other
+                # processes' devices and cannot be np.asarray'd
+                host_batch = (images, gt_boxes, gt_labels, num_gt)
                 if mesh is not None:
                     # images get the (data[, spatial]) placement the
                     # step's in_shardings expect; anchor-space targets
@@ -576,12 +566,14 @@ def train(det: Detector, imdb, *, train_dir: str, max_steps: int,
                 targets = None
             else:
                 images, targets = loader.get()
+                host_batch = (images, targets)
                 images = jnp.asarray(images)
                 if mesh is not None:
                     images = _shard_images(mesh, images)
                     targets = _shard_batch(mesh, targets)
                 params, opt_state, lb = train_step(
                     params, opt_state, images, targets, step_rng)
+                targets = host_batch[1]
 
             do_log = step % log_every == 0
             do_summary = summary_writer is not None and \
@@ -607,12 +599,14 @@ def train(det: Detector, imdb, *, train_dir: str, max_steps: int,
                                       learning_rate_at(cfg, step), step)
                 if viz_step and step % viz_step == 0:
                     if targets is None and viz_assign is not None:
-                        targets = viz_assign(anchors_const, batch[1],
-                                             batch[2], batch[3])
+                        targets = viz_assign(
+                            anchors_const, jnp.asarray(host_batch[1]),
+                            jnp.asarray(host_batch[2]),
+                            jnp.asarray(host_batch[3]))
                     if targets is not None:
                         ims = viz_prediction_images(
-                            det, params, _images_for_summary(images),
-                            targets)
+                            det, params,
+                            _images_for_summary(host_batch[0]), targets)
                         summary_writer.image(
                             "sample_detection_results", ims, step,
                             max_outputs=cfg.batch_size)
@@ -620,10 +614,18 @@ def train(det: Detector, imdb, *, train_dir: str, max_steps: int,
                     step % histogram_step == 0:
                 if grad_fn is None:
                     grad_fn = _make_grad_fn()
+                # histograms reflect this host's local batch (params
+                # are replicated, so their histograms are global); a
+                # multi-process global params array cannot join a jit
+                # over host-local batches, so grads use a host copy
+                hp = jax.device_get(params) if multihost else params
                 if device_assign:
-                    grads = grad_fn(params, *batch, step_rng)
+                    grads = grad_fn(
+                        hp, *[jnp.asarray(x) for x in host_batch],
+                        step_rng)
                 else:
-                    grads = grad_fn(params, images, targets, step_rng)
+                    grads = grad_fn(hp, jnp.asarray(host_batch[0]),
+                                    host_batch[1], step_rng)
                 write_histograms(summary_writer, jax.device_get(params),
                                  jax.device_get(grads), step,
                                  trainable_mask=det._trainable_mask_cache(
@@ -631,7 +633,7 @@ def train(det: Detector, imdb, *, train_dir: str, max_steps: int,
                 if activation_summary:
                     write_activation_summaries(
                         summary_writer, det, params,
-                        _images_for_summary(images), step)
+                        _images_for_summary(host_batch[0]), step)
             if do_log:
                 duration = time.time() - start_time
                 print('%s: step %d, loss = %.2f (%.1f images/sec; %.3f '

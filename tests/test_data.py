@@ -173,3 +173,24 @@ def test_uint8_ingest_parity(kitti_root, cfg):
         # the fractional part of the means (<= 0.5) — both below bf16
         # resolution at this magnitude
         assert np.max(np.abs(normalized - imgs_f)) <= 1.0 + 0.5
+
+
+def test_shard_hosts_disjoint_cover(kitti_root, cfg):
+    """Multi-host data sharding: strided per-process shards are disjoint
+    and cover the image list."""
+    from squeezedet_tpu.data import Kitti
+    full = Kitti("train", kitti_root, cfg, rng=np.random.RandomState(0))
+    all_idx = list(full.image_idx)
+    shards = []
+    for p in range(2):
+        db = Kitti("train", kitti_root, cfg,
+                   rng=np.random.RandomState(p))
+        db.shard_hosts(p, 2)
+        shards.append(list(db.image_idx))
+    assert not set(shards[0]) & set(shards[1])
+    assert sorted(shards[0] + shards[1]) == sorted(all_idx)
+    # more processes than images must fail loudly, not feed nothing
+    tiny = Kitti("train", kitti_root, cfg,
+                 rng=np.random.RandomState(0))
+    with pytest.raises(AssertionError):
+        tiny.shard_hosts(len(all_idx), len(all_idx) + 1)

@@ -101,6 +101,20 @@ assert np.isfinite(loss)
 from jax.experimental import multihost_utils
 losses = multihost_utils.process_allgather(np.asarray([loss]))
 assert np.allclose(losses, losses[0]), losses
+
+# collective checkpoint: every controller calls save on the same path
+# (the orbax multiprocess contract — it coordinates internally; the
+# train loop does exactly this from all hosts)
+from squeezedet_tpu.checkpoint.manager import CheckpointManager
+mgr = CheckpointManager(sys.argv[4])
+tree = {"params": jax.device_get(new_params),
+        "step": np.asarray(1, np.int64)}
+mgr.save(1, tree)
+step_restored, restored = mgr.restore_latest(tree)
+assert step_restored == 1, step_restored
+for x, y in zip(jax.tree_util.tree_leaves(tree),
+                jax.tree_util.tree_leaves(restored)):
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(x))
 with open(sys.argv[3], "w") as f:
     f.write("TRAIN_OK {} loss {}".format(pid, loss))
 """
@@ -116,8 +130,10 @@ def _run_pair(worker_src, tmp_path):
     env.pop("JAX_PLATFORMS", None)
     env.pop("JAX_NUM_CPU_DEVICES", None)
     markers = [str(tmp_path / "marker{}".format(i)) for i in range(2)]
+    shared_ckpt = str(tmp_path / "ckpt")
     procs = [subprocess.Popen(
-        [sys.executable, "-c", worker_src, coordinator, str(i), markers[i]],
+        [sys.executable, "-c", worker_src, coordinator, str(i), markers[i],
+         shared_ckpt],
         env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
         text=True) for i in range(2)]
     outs = []

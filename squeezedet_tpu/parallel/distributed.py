@@ -36,6 +36,14 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
     megascale = os.environ.get("MEGASCALE_COORDINATOR_ADDRESS")
     if not explicit and not megascale and len(hostnames) <= 1:
         return False
+    # jax.distributed.initialize() does not read these env vars itself
+    # (verified: bare initialize() raises 'Number of processes must be
+    # defined'); resolve them here so env-var launched CLI jobs work.
+    coordinator_address = coordinator_address or explicit or None
+    if num_processes is None and os.environ.get("JAX_NUM_PROCESSES"):
+        num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+    if process_id is None and os.environ.get("JAX_PROCESS_ID"):
+        process_id = int(os.environ["JAX_PROCESS_ID"])
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes, process_id=process_id)

@@ -338,10 +338,11 @@ def train(det: Detector, imdb, *, train_dir: str, max_steps: int,
     opt_state = tx.init(params)
     state = TrainState(params=params, opt_state=opt_state, step=0)
 
-    # model_metrics.txt (train.py:138-161)
-    from squeezedet_tpu.utils.metrics import write_model_metrics
-    write_model_metrics(os.path.join(train_dir, "model_metrics.txt"),
-                        tracer)
+    # model_metrics.txt (train.py:138-161); one writer per job
+    if jax.process_index() == 0:
+        from squeezedet_tpu.utils.metrics import write_model_metrics
+        write_model_metrics(os.path.join(train_dir, "model_metrics.txt"),
+                            tracer)
 
     # auto-resume from latest checkpoint (train.py:243-245)
     ckpt = CheckpointManager(train_dir)

@@ -120,6 +120,23 @@ with open(sys.argv[3], "w") as f:
 """
 
 
+_CLI_WORKER = r"""
+import sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 2)
+data_path, train_dir, marker = sys.argv[1], sys.argv[2], sys.argv[3]
+from squeezedet_tpu.train import main
+main(['--data_path', data_path, '--image_set', 'train',
+      '--train_dir', train_dir, '--image_width', '96',
+      '--image_height', '96', '--batch_size', '2', '--max_steps', '2',
+      '--checkpoint_step', '1', '--learning_rate', '0.001',
+      '--num_devices', '4', '--device_assign', '--seed', '0'])
+with open(marker, "w") as f:
+    f.write("CLI_OK {}".format(jax.process_index()))
+"""
+
+
 def _run_pair(worker_src, tmp_path):
     port = socket.socket()
     port.bind(("127.0.0.1", 0))
@@ -160,3 +177,52 @@ def test_two_process_data_parallel_train_step(tmp_path):
     markers = _run_pair(_TRAIN_WORKER, tmp_path)
     for i, marker in enumerate(markers):
         assert "TRAIN_OK {}".format(i) in marker
+
+
+@pytest.mark.slow
+def test_two_process_cli_train(tmp_path):
+    """The real squeezedet-train flow across two controllers: env-var
+    cluster init (initialize_multihost), disjoint host shards,
+    primary-only writer/metrics, collective checkpoints, per-process
+    sampler state files."""
+    from synth_kitti import make_synth_kitti
+    data = str(tmp_path / "kitti")
+    make_synth_kitti(data, num_images=6, width=96, height=96)
+    train_dir = str(tmp_path / "train")
+
+    port = socket.socket()
+    port.bind(("127.0.0.1", 0))
+    coordinator = "127.0.0.1:{}".format(port.getsockname()[1])
+    port.close()
+
+    base_env = dict(os.environ)
+    base_env.pop("JAX_PLATFORMS", None)
+    base_env.pop("JAX_NUM_CPU_DEVICES", None)
+    markers = [str(tmp_path / "m{}".format(i)) for i in range(2)]
+    procs = []
+    for i in range(2):
+        env = dict(base_env, JAX_COORDINATOR_ADDRESS=coordinator,
+                   JAX_NUM_PROCESSES="2", JAX_PROCESS_ID=str(i))
+        procs.append(subprocess.Popen(
+            [sys.executable, "-c", _CLI_WORKER, data, train_dir,
+             markers[i]],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True))
+    outs = []
+    for proc in procs:
+        out, err = proc.communicate(timeout=900)
+        outs.append((proc.returncode, out, err))
+    for i, (rc, out, err) in enumerate(outs):
+        assert rc == 0, "cli worker {} failed:\n{}\n{}".format(i, out, err)
+    for i in range(2):
+        assert "CLI_OK {}".format(i) in open(markers[i]).read()
+
+    assert os.path.isdir(os.path.join(train_dir, "model.ckpt-1"))
+    assert os.path.exists(os.path.join(train_dir, "model_metrics.txt"))
+    # one sampler snapshot per controller
+    assert os.path.exists(os.path.join(train_dir, "sampler.ckpt-1.p0.npz"))
+    assert os.path.exists(os.path.join(train_dir, "sampler.ckpt-1.p1.npz"))
+    # events written by the primary only
+    events = [f for f in os.listdir(train_dir)
+              if f.startswith("events.out")]
+    assert len(events) == 1, events

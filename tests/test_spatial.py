@@ -146,3 +146,40 @@ def test_spatial_train_matches_single_device(rng):
                     jax.tree_util.tree_leaves(p2d)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=1e-4, atol=1e-6)
+
+
+def test_scan_dispatch_on_2d_mesh(rng):
+    """K scanned steps over a (2, 2) data x spatial mesh: the stacked
+    [K, B, H, W, 3] batch shards as P(None, 'data', 'spatial') and the
+    result matches the unsharded scan."""
+    from squeezedet_tpu.trainer import make_train_step_device_scan
+
+    cfg = tiny_test_config(image_width=64, image_height=64, batch_size=2)
+    det = get_model("squeezeDet", cfg)
+    params, mask, _ = det.init(jax.random.key(0))
+    det.set_trainable_mask(mask)
+    tx = build_optimizer(cfg, mask)
+
+    K, B, G = 2, 2, 4
+    images = rng.randn(K, B, 64, 64, 3).astype(np.float32)
+    gt_boxes = np.tile(np.asarray([[20., 20., 12., 10.]], np.float32),
+                       (K, B, G, 1))
+    gt_labels = np.zeros((K, B, G), np.int32)
+    num_gt = np.full((K, B), 1, np.int32)
+    keys = jax.random.split(jax.random.key(7), K)
+
+    ref_step = make_train_step_device_scan(det, tx, K, donate=False)
+    p1, _, lbs1 = ref_step(params, tx.init(params), images, gt_boxes,
+                           gt_labels, num_gt, keys)
+
+    mesh = make_mesh_2d(2, 2)
+    step2 = make_train_step_device_scan(det, tx, K, mesh=mesh,
+                                        donate=False)
+    p2, _, lbs2 = step2(params, tx.init(params), images, gt_boxes,
+                        gt_labels, num_gt, keys)
+    np.testing.assert_allclose(np.asarray(lbs2.total),
+                               np.asarray(lbs1.total), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-6)

@@ -111,10 +111,13 @@ def image_demo(args):
         im = cv2.imread(f).astype(np.float32)
         im = cv2.resize(im, (cfg.image_width, cfg.image_height))
         input_image = im - cfg.bgr_means_array()
-        _detect_and_draw(det, predict, params, im, input_image, cfg)
+        # draw on uint8: OpenCV >= 5 asserts CV_8U in putText (the
+        # reference drew on the float image, cv2 v3 tolerated it)
+        im_draw = np.clip(im, 0, 255).astype(np.uint8)
+        _detect_and_draw(det, predict, params, im_draw, input_image, cfg)
         file_name = os.path.split(f)[1]
         out_file_name = os.path.join(args.out_dir, 'out_' + file_name)
-        cv2.imwrite(out_file_name, np.clip(im, 0, 255).astype(np.uint8))
+        cv2.imwrite(out_file_name, im_draw)
         print('Image detection output saved to {}'.format(out_file_name))
 
 

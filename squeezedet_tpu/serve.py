@@ -1,0 +1,170 @@
+"""``squeezedet-serve``: a minimal stdlib HTTP detection service.
+
+The production face of the serving stack: loads either a checkpoint or
+an :func:`squeezedet_tpu.serving.export_model` artifact, compiles the
+fully-fused uint8 -> detections program once, and answers
+
+    POST /detect      body = image bytes (png/jpeg)
+                      -> JSON {detections: [{box: [cx, cy, w, h],
+                         score, class_name}, ...], latency_ms}
+    GET  /healthz     -> 200 'ok' once the model is warm
+
+The reference's closest analog is demo.py's batch-of-one loop
+(demo.py:161-225); this serves the same program behind a socket with
+no per-request Python postprocessing beyond JSON encoding.  Stdlib
+http.server only — no framework dependency; requests are handled
+serially per process (scale out with processes behind a load
+balancer, or raise --batch for offline scoring).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def build_arg_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        description="Serve squeezedet-tpu detections over HTTP.")
+    p.add_argument('--checkpoint', default='',
+                   help='Checkpoint dir / caffe pkl / TF1 ckpt.')
+    p.add_argument('--artifact', default='',
+                   help='export_model artifact dir (alternative to '
+                        '--checkpoint; runs without model code).')
+    p.add_argument('--net', default='squeezeDet')
+    p.add_argument('--host', default='127.0.0.1')
+    p.add_argument('--port', type=int, default=8752)
+    p.add_argument('--compute_dtype', default='bfloat16')
+    p.add_argument('--prob_thresh', type=float, default=None,
+                   help='Report only detections above this score '
+                        '(default: the config plot threshold).')
+    return p
+
+
+def _build_from_checkpoint(args):
+    import jax
+
+    from squeezedet_tpu.config import config_for_net
+    from squeezedet_tpu.models import get_model
+
+    cfg = config_for_net(args.net).replace(
+        batch_size=1, load_pretrained_model=False,
+        compute_dtype=args.compute_dtype)
+    det = get_model(args.net, cfg)
+    if args.checkpoint:
+        from squeezedet_tpu.demo import load_params
+        params = load_params(det, args.checkpoint)
+    else:
+        print("WARNING: no --checkpoint/--artifact; serving random init")
+        params, _, _ = det.init(jax.random.key(0))
+    fn = jax.jit(det.predict_raw_postprocessed)
+
+    meta = {"class_names": list(cfg.class_names),
+            "image_height": cfg.image_height,
+            "image_width": cfg.image_width,
+            "plot_prob_thresh": cfg.plot_prob_thresh}
+    return (lambda im: fn(params, im)), meta
+
+
+def _build_from_artifact(path):
+    from squeezedet_tpu.serving import load_exported
+
+    fn, meta = load_exported(path)
+    if not meta.get("postprocess", True):
+        raise SystemExit("artifact was exported with --no_postprocess; "
+                         "the server needs the postprocessed outputs")
+    return fn, meta
+
+
+def make_handler(run, meta, prob_thresh):
+    """Build the request handler around a warm inference callable."""
+    import http.server
+
+    import cv2
+    import numpy as np
+
+    h, w = meta["image_height"], meta["image_width"]
+    names = meta["class_names"]
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def _reply(self, code, body, ctype="application/json"):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._reply(200, b"ok", "text/plain")
+            else:
+                self._reply(404, b"not found", "text/plain")
+
+        def do_POST(self):
+            if self.path != "/detect":
+                self._reply(404, b"not found", "text/plain")
+                return
+            length = int(self.headers.get("Content-Length", 0))
+            raw = self.rfile.read(length)
+            im = cv2.imdecode(np.frombuffer(raw, np.uint8),
+                              cv2.IMREAD_COLOR)
+            if im is None:
+                self._reply(400, b'{"error": "undecodable image"}')
+                return
+            t0 = time.perf_counter()
+            x_scale = im.shape[1] / float(w)
+            y_scale = im.shape[0] / float(h)
+            im = cv2.resize(im, (w, h))
+            boxes, probs, classes, keep = [
+                np.asarray(o) for o in run(im[None])]
+            dt = (time.perf_counter() - t0) * 1000
+            dets = []
+            for k in range(boxes.shape[1]):
+                if not keep[0, k] or probs[0, k] < prob_thresh:
+                    continue
+                cx, cy, bw, bh = [float(v) for v in boxes[0, k]]
+                dets.append({
+                    "box": [cx * x_scale, cy * y_scale,
+                            bw * x_scale, bh * y_scale],
+                    "score": float(probs[0, k]),
+                    "class_name": names[int(classes[0, k])],
+                })
+            self._reply(200, json.dumps(
+                {"detections": dets,
+                 "latency_ms": round(dt, 2)}).encode())
+
+        def log_message(self, fmt, *a):  # quiet per-request chatter
+            pass
+
+    return Handler
+
+
+def main(argv=None):
+    import http.server
+
+    import numpy as np
+
+    args = build_arg_parser().parse_args(argv)
+    if args.artifact:
+        run, meta = _build_from_artifact(args.artifact)
+    else:
+        run, meta = _build_from_checkpoint(args)
+    prob_thresh = args.prob_thresh if args.prob_thresh is not None \
+        else meta.get("plot_prob_thresh", 0.4)
+
+    # warm the compile before accepting traffic
+    h, w = meta["image_height"], meta["image_width"]
+    print("compiling {}x{} program...".format(h, w))
+    import jax
+    jax.block_until_ready(run(np.zeros((1, h, w, 3), np.uint8)))
+
+    server = http.server.HTTPServer(
+        (args.host, args.port), make_handler(run, meta, prob_thresh))
+    print("serving on http://{}:{}  (POST /detect, GET /healthz)".format(
+        args.host, args.port))
+    server.serve_forever()
+
+
+if __name__ == '__main__':
+    main()

@@ -14,7 +14,8 @@ The reference's closest analog is demo.py's batch-of-one loop
 no per-request Python postprocessing beyond JSON encoding.  Stdlib
 http.server only — no framework dependency; requests are handled
 serially per process (scale out with processes behind a load
-balancer, or raise --batch for offline scoring).
+balancer; for offline bulk scoring use squeezedet-eval's batched
+path instead).
 """
 
 from __future__ import annotations
@@ -58,13 +59,17 @@ def _build_from_checkpoint(args):
     else:
         print("WARNING: no --checkpoint/--artifact; serving random init")
         params, _, _ = det.init(jax.random.key(0))
-    fn = jax.jit(det.predict_raw_postprocessed)
+    # XLA-negotiated entry layout: same program jax.jit would build,
+    # minus the in-program relayout copy of the uint8 frame
+    from squeezedet_tpu.serving import negotiated_inference_fn
+    fn, input_format = negotiated_inference_fn(det, 1, params)
 
     meta = {"class_names": list(cfg.class_names),
             "image_height": cfg.image_height,
             "image_width": cfg.image_width,
             "plot_prob_thresh": cfg.plot_prob_thresh}
-    return (lambda im: fn(params, im)), meta
+    return (lambda im: fn(params, jax.device_put(im, input_format))), \
+        meta
 
 
 def _build_from_artifact(path):
@@ -74,6 +79,15 @@ def _build_from_artifact(path):
     if not meta.get("postprocess", True):
         raise SystemExit("artifact was exported with --no_postprocess; "
                          "the server needs the postprocessed outputs")
+    if meta.get("input_dtype", "uint8") != "uint8":
+        raise SystemExit("artifact takes {} input; the server sends raw "
+                         "uint8 frames — re-export without "
+                         "--f32_input".format(meta["input_dtype"]))
+    if meta.get("batch_size", 1) != 1:
+        raise SystemExit("artifact was exported at batch_size={}; the "
+                         "server serves one image per request — "
+                         "re-export with --batch_size 1".format(
+                             meta["batch_size"]))
     return fn, meta
 
 
@@ -105,7 +119,15 @@ def make_handler(run, meta, prob_thresh):
             if self.path != "/detect":
                 self._reply(404, b"not found", "text/plain")
                 return
-            length = int(self.headers.get("Content-Length", 0))
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+            except (TypeError, ValueError):
+                self._reply(400, b'{"error": "bad Content-Length"}')
+                return
+            if length <= 0 or length > 64 * 1024 * 1024:
+                self._reply(400, b'{"error": "body must be 1 byte to '
+                                 b'64 MiB of image data"}')
+                return
             raw = self.rfile.read(length)
             im = cv2.imdecode(np.frombuffer(raw, np.uint8),
                               cv2.IMREAD_COLOR)

@@ -137,22 +137,32 @@ with open(marker, "w") as f:
 """
 
 
-def _run_pair(worker_src, tmp_path):
+def _run_pair(worker_src, tmp_path, worker_args=None, extra_env=None):
+    """Launch two coordinated worker subprocesses and collect their
+    marker files.  ``worker_args(i, marker)`` overrides the argv tail
+    (default: coordinator, pid, marker, shared ckpt dir);
+    ``extra_env(i, coordinator)`` adds per-process env vars."""
     port = socket.socket()
     port.bind(("127.0.0.1", 0))
     coordinator = "127.0.0.1:{}".format(port.getsockname()[1])
     port.close()
 
-    env = dict(os.environ)
-    env.pop("JAX_PLATFORMS", None)
-    env.pop("JAX_NUM_CPU_DEVICES", None)
+    base_env = dict(os.environ)
+    base_env.pop("JAX_PLATFORMS", None)
+    base_env.pop("JAX_NUM_CPU_DEVICES", None)
     markers = [str(tmp_path / "marker{}".format(i)) for i in range(2)]
     shared_ckpt = str(tmp_path / "ckpt")
-    procs = [subprocess.Popen(
-        [sys.executable, "-c", worker_src, coordinator, str(i), markers[i],
-         shared_ckpt],
-        env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
-        text=True) for i in range(2)]
+    procs = []
+    for i in range(2):
+        env = dict(base_env)
+        if extra_env is not None:
+            env.update(extra_env(i, coordinator))
+        argv = (worker_args(i, markers[i]) if worker_args is not None
+                else [coordinator, str(i), markers[i], shared_ckpt])
+        procs.append(subprocess.Popen(
+            [sys.executable, "-c", worker_src] + argv,
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True))
     outs = []
     for proc in procs:
         out, err = proc.communicate(timeout=900)
@@ -190,32 +200,15 @@ def test_two_process_cli_train(tmp_path):
     make_synth_kitti(data, num_images=6, width=96, height=96)
     train_dir = str(tmp_path / "train")
 
-    port = socket.socket()
-    port.bind(("127.0.0.1", 0))
-    coordinator = "127.0.0.1:{}".format(port.getsockname()[1])
-    port.close()
-
-    base_env = dict(os.environ)
-    base_env.pop("JAX_PLATFORMS", None)
-    base_env.pop("JAX_NUM_CPU_DEVICES", None)
-    markers = [str(tmp_path / "m{}".format(i)) for i in range(2)]
-    procs = []
+    markers = _run_pair(
+        _CLI_WORKER, tmp_path,
+        worker_args=lambda i, marker: [data, train_dir, marker],
+        extra_env=lambda i, coord: {
+            "JAX_COORDINATOR_ADDRESS": coord,
+            "JAX_NUM_PROCESSES": "2",
+            "JAX_PROCESS_ID": str(i)})
     for i in range(2):
-        env = dict(base_env, JAX_COORDINATOR_ADDRESS=coordinator,
-                   JAX_NUM_PROCESSES="2", JAX_PROCESS_ID=str(i))
-        procs.append(subprocess.Popen(
-            [sys.executable, "-c", _CLI_WORKER, data, train_dir,
-             markers[i]],
-            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
-            text=True))
-    outs = []
-    for proc in procs:
-        out, err = proc.communicate(timeout=900)
-        outs.append((proc.returncode, out, err))
-    for i, (rc, out, err) in enumerate(outs):
-        assert rc == 0, "cli worker {} failed:\n{}\n{}".format(i, out, err)
-    for i in range(2):
-        assert "CLI_OK {}".format(i) in open(markers[i]).read()
+        assert "CLI_OK {}".format(i) in markers[i]
 
     assert os.path.isdir(os.path.join(train_dir, "model.ckpt-1"))
     assert os.path.exists(os.path.join(train_dir, "model_metrics.txt"))

@@ -22,6 +22,11 @@ from squeezedet_tpu.config import (  # noqa: F401
     kitti_vgg16_config,
     tiny_test_config,
 )
-from squeezedet_tpu.models import get_model  # noqa: F401
+from squeezedet_tpu.models import Detector, get_model  # noqa: F401
+from squeezedet_tpu.serving import (  # noqa: F401
+    export_model,
+    load_exported,
+    negotiated_inference_fn,
+)
 
 __version__ = "0.1.0"

@@ -183,7 +183,7 @@ def main():
     ap.add_argument("--f32_input", action="store_true")
     args = ap.parse_args()
     if args.mode == "train":
-        result = bench_train(batch_size=min(args.batch_size, 64),
+        result = bench_train(batch_size=args.batch_size,
                              net=args.net, compute_dtype=args.dtype)
     else:
         result = bench(batch_size=args.batch_size, iters=args.iters,

@@ -22,13 +22,13 @@ because the claimed-mask already guarantees unique anchors per image.
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from squeezedet_tpu.models.skeleton import Targets
+from squeezedet_tpu.ops.boxes import batch_iou
 
 
 def normalize_images(images_u8, bgr_means, dtype=jnp.float32):
@@ -63,6 +63,12 @@ def random_flip(images, gt_boxes, rng):
 
     images: [B, H, W, C]; gt_boxes: [B, G, 4] center-format.
     Box update: cx' = (W - 1) - cx.
+
+    Note: flips at MODEL resolution; the host path flips before the
+    resize (cx' = (orig_w - 1 - cx) * x_scale), which differs by a
+    sub-pixel (1 - x_scale)/2 offset.  A training pipeline mixing the
+    two conventions would see that as label noise — the shipped train
+    paths do all augmentation host-side (imdb._augment).
     """
     b = images.shape[0]
     w = images.shape[2]
@@ -76,21 +82,10 @@ def random_flip(images, gt_boxes, rng):
 
 
 def _iou_anchors(anchors, box):
-    """IoU of all [A, 4] anchors vs one center-format box (util.py:32-54
-    math, jit-side)."""
-    lr = jnp.maximum(
-        jnp.minimum(anchors[:, 0] + 0.5 * anchors[:, 2],
-                    box[0] + 0.5 * box[2])
-        - jnp.maximum(anchors[:, 0] - 0.5 * anchors[:, 2],
-                      box[0] - 0.5 * box[2]), 0)
-    tb = jnp.maximum(
-        jnp.minimum(anchors[:, 1] + 0.5 * anchors[:, 3],
-                    box[1] + 0.5 * box[3])
-        - jnp.maximum(anchors[:, 1] - 0.5 * anchors[:, 3],
-                      box[1] - 0.5 * box[3]), 0)
-    inter = lr * tb
-    union = anchors[:, 2] * anchors[:, 3] + box[2] * box[3] - inter
-    return inter / union
+    """IoU of all [A, 4] anchors vs one center-format box — delegates to
+    ops.boxes.batch_iou (the single home of the util.py:32-54 math; it
+    dispatches to jnp under jit)."""
+    return batch_iou(anchors, box)
 
 
 def _assign_one_image(anchors, gt_boxes, gt_labels, num_gt, num_classes):
@@ -159,24 +154,6 @@ def assign_anchors_device(anchors, gt_boxes, gt_labels, num_gt,
     )(gt_boxes, gt_labels, num_gt)
     return Targets(input_mask=mask, box_delta_input=delta,
                    box_input=box, labels=labels)
-
-
-def make_device_train_batch(anchors, images_u8, gt_boxes, gt_labels,
-                            num_gt, *, bgr_means, num_classes: int,
-                            rng, augment: bool = True,
-                            dtype=jnp.float32
-                            ) -> Tuple[jax.Array, Targets]:
-    """Full on-device training-batch pipeline: normalize (+ flip) +
-    anchor assignment.  Drift cropping stays host-side (it changes the
-    effective source resolution per image, which is host IO territory);
-    flip + matching are the per-batch hot path.
-    """
-    images = normalize_images(images_u8, bgr_means, dtype)
-    if augment:
-        images, gt_boxes = random_flip(images, gt_boxes, rng)
-    targets = assign_anchors_device(anchors, gt_boxes, gt_labels, num_gt,
-                                    num_classes)
-    return images, targets
 
 
 def ingest_and_assign(det, images, gt_boxes, gt_labels, num_gt,

@@ -155,7 +155,13 @@ def detection_loss(interp: Interpretation, targets: Targets, *,
     """
     mask = targets.input_mask  # [B, A]
     mask3 = mask[..., None]
-    num_objects = jnp.sum(mask)
+    # Guarded against an all-background batch (every image num_gt=0 —
+    # reachable here because the device pipeline pads GT, whereas the
+    # reference's host loader can never feed zero objects): with no
+    # positives every masked sum is 0, so dividing by 1 instead of 0
+    # yields zero class/bbox losses and a pure-negative conf loss
+    # rather than NaN params.  num_objects > 0 is unchanged.
+    num_objects = jnp.maximum(jnp.sum(mask), 1.0)
 
     # Class cross-entropy, normalized by num_objects
     # (nn_skeleton.py:289-300): q*(-log p) + (1-q)*(-log(1-p)) over the

@@ -26,37 +26,38 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _pairwise_iou_center(boxes):
-    """[K, 4] center-format -> [K, K] IoU (matches util.py:9-54 math)."""
-    cx, cy, w, h = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
-    x1, y1 = cx - 0.5 * w, cy - 0.5 * h
-    x2, y2 = cx + 0.5 * w, cy + 0.5 * h
-    lr = jnp.maximum(
-        jnp.minimum(x2[:, None], x2[None, :])
-        - jnp.maximum(x1[:, None], x1[None, :]), 0.0)
-    tb = jnp.maximum(
-        jnp.minimum(y2[:, None], y2[None, :])
-        - jnp.maximum(y1[:, None], y1[None, :]), 0.0)
-    inter = lr * tb
-    area = w * h
-    union = area[:, None] + area[None, :] - inter
-    # Padded/degenerate boxes have zero area; guard the division like the
-    # device path must (the host reference divides by zero there).
-    return inter / jnp.maximum(union, 1e-12)
-
-
 def _filter_one(boxes, probs, cls_idx, *, top_n: int, nms_thresh: float,
                 prob_thresh: float = None):
-    """Single image: [A, 4], [A], [A] -> top_n-shaped results."""
-    top_probs, order = jax.lax.top_k(probs, top_n)  # descending
+    """Single image: [A, 4], [A], [A] -> top_n-shaped results.
+
+    Tie-break parity: the host reference ranks by
+    ``probs.argsort()[:-N-1:-1]`` — stable ascending argsort reversed,
+    so equal scores rank the LARGER anchor index first.  ``lax.top_k``
+    prefers the smaller index, so run it on the index-reversed vector
+    and map back (same trick as the matcher's reversed argmax,
+    device_pipeline.py)."""
+    from squeezedet_tpu.ops.boxes import pairwise_iou_center
+
+    num = probs.shape[0]
+    rev_probs = probs[::-1]
+    top_probs, rev_order = jax.lax.top_k(rev_probs, top_n)  # descending
+    order = num - 1 - rev_order  # ties -> larger original index first
     top_boxes = jnp.take(boxes, order, axis=0)
     top_cls = jnp.take(cls_idx, order, axis=0)
 
-    iou_mat = _pairwise_iou_center(top_boxes)
+    # padded/degenerate zero-area boxes: eps guards the 0/0 the host
+    # reference leaves undefined (util.py:54)
+    iou_mat = pairwise_iou_center(top_boxes, top_boxes, eps=1e-12)
     same_class = top_cls[:, None] == top_cls[None, :]
-    k = top_n
-    earlier = (jax.lax.broadcasted_iota(jnp.int32, (k, k), 0)
-               < jax.lax.broadcasted_iota(jnp.int32, (k, k), 1))
+    # Suppression order = the host nms's own ranking (util.py:56-76
+    # re-sorts with probs.argsort()[::-1]): descending prob, ties by
+    # LARGER local position first — which, composed with the outer
+    # selection's larger-anchor-first tie order, walks tied anchors
+    # smallest-index-first.  For distinct probs this reduces to the
+    # plain triangular i<j mask.
+    pi, pj = top_probs[:, None], top_probs[None, :]
+    li = jnp.arange(top_n)
+    earlier = (pi > pj) | ((pi == pj) & (li[:, None] > li[None, :]))
     suppressed = jnp.any(
         (iou_mat > nms_thresh) & same_class & earlier, axis=0)
     keep = ~suppressed

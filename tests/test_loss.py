@@ -205,3 +205,26 @@ def test_class_loss_stable_at_softmax_saturation(cfg):
     g = jax.grad(loss_of)(jnp.asarray(preds))
     assert np.isfinite(np.asarray(g)).all()
     assert np.abs(np.asarray(g)).max() < 1e4
+
+
+def test_all_background_batch_yields_finite_loss(cfg, rng):
+    """Every image num_gt=0 (reachable through the padded device
+    pipeline, unlike the reference's host loader): losses must stay
+    finite — zero class/bbox terms, pure-negative conf term — instead
+    of NaN-poisoning the params."""
+    from squeezedet_tpu.data.device_pipeline import assign_anchors_device
+    det = get_model("squeezeDet", cfg)
+    params, _, _ = det.init(jax.random.key(0))
+    B, G = cfg.batch_size, 4
+    anchors = jnp.asarray(cfg.anchor_box, jnp.float32)
+    targets = assign_anchors_device(
+        anchors, jnp.zeros((B, G, 4)), jnp.zeros((B, G), jnp.int32),
+        jnp.zeros((B,), jnp.int32), cfg.classes)
+    images = jnp.asarray(rng.randn(B, cfg.image_height, cfg.image_width,
+                                   3).astype(np.float32))
+    lb = jax.jit(lambda p, im, tg: det.loss(p, im, tg, train=False))(
+        params, images, targets)
+    for leaf in [lb.total, lb.class_loss, lb.conf_loss, lb.bbox_loss]:
+        assert np.isfinite(float(leaf)), lb
+    assert float(lb.class_loss) == 0.0
+    assert float(lb.bbox_loss) == 0.0

@@ -112,3 +112,31 @@ def test_negotiated_inference_fn_smoke():
     x = jax.device_put(np.zeros((2, 64, 64, 3), np.uint8), fmt)
     boxes, probs, classes, keep = fn(params, x)
     assert boxes.shape[0] == 2 and probs.shape == keep.shape
+
+
+def test_tied_scores_rank_like_host():
+    """Exactly-tied scores (saturated sigmoids): the host ranks the
+    LARGER anchor index first (probs.argsort()[::-1] reversal of a
+    stable ascending sort); the device top-k must agree or NMS
+    suppression order diverges."""
+    n = 40
+    rng = np.random.RandomState(3)
+    boxes = np.stack([
+        rng.uniform(50, 950, n), rng.uniform(50, 250, n),
+        np.full(n, 300.0), np.full(n, 300.0)], axis=1).astype(np.float32)
+    # heavily-overlapping big boxes, all same class, all tied scores
+    probs = np.full((n,), 0.75, np.float32)
+    cls = np.zeros((n,), np.int64)
+
+    db, dp, dc, keep = filter_prediction_device(
+        jnp.asarray(boxes)[None], jnp.asarray(probs)[None],
+        jnp.asarray(cls)[None], top_n=16, nms_thresh=0.4, num_classes=3)
+    got = device_results_to_lists(
+        np.asarray(db[0]), np.asarray(dp[0]), np.asarray(dc[0]),
+        np.asarray(keep[0]), num_classes=3)
+    want = filter_prediction_np(
+        boxes, probs, cls, classes=3, top_n_detection=16,
+        prob_thresh=0.005, nms_thresh=0.4)
+    assert len(got[0]) == len(want[0])
+    np.testing.assert_allclose(np.asarray(got[0]),
+                               np.asarray(want[0]), rtol=1e-6)

@@ -153,6 +153,13 @@ class Imdb:
                  int(state["rng_pos"]), int(state["rng_has_gauss"]),
                  float(state["rng_cached_gaussian"])))
 
+    def reset_cursor(self) -> None:
+        """Rewind the sequential read cursor to the start of the image
+        list (used by eval's full-split scans).  Takes the sampler lock;
+        external callers must never poke ``_cur_idx`` directly."""
+        with self._lock:
+            self._cur_idx = 0
+
     def _next_batch_idx(self, shuffle: bool) -> List[str]:
         """Thread-safe version of the index window logic (imdb.py:115-127)."""
         mc = self.mc

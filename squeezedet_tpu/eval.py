@@ -113,7 +113,7 @@ def detect_all(det, imdb, params, batch_size: int):
         predict = jax.jit(det.predict)
 
     num_detection = 0.0
-    imdb._cur_idx = 0
+    imdb.reset_cursor()
     for start in range(0, num_images, batch_size):
         timers['im_read'].tic()
         images, scales = imdb.read_image_batch(shuffle=False)

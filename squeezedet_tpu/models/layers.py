@@ -76,18 +76,29 @@ class NetTracer:
     model_size_counter: List[Tuple[str, int]] = field(default_factory=list)
     flop_counter: List[Tuple[str, int]] = field(default_factory=list)
     activation_counter: List[Tuple[str, int]] = field(default_factory=list)
+    debug: bool = False
+    batch: int = 1
 
     @classmethod
     def for_config(cls, cfg) -> "NetTracer":
-        t = cls(cfg.image_height, cfg.image_width, 3)
+        t = cls(cfg.image_height, cfg.image_width, 3,
+                debug=cfg.debug_mode, batch=cfg.batch_size)
         # reference: activation_counter starts with the input entry
         # (nn_skeleton.py:135)
         t.activation_counter.append(
             ("input", cfg.image_width * cfg.image_height * 3))
         return t
 
+    def _debug_print(self, name: str) -> None:
+        """DEBUG_MODE layer shape prints (nn_skeleton.py:510-511,
+        618-619): same text, input shape as NHWC at init time."""
+        print('Input tensor shape to {}: ({}, {}, {}, {})'.format(
+            name, self.batch, self.height, self.width, self.channels))
+
     def conv(self, name: str, filters: int, size: int, stride: int,
              padding: str, relu: bool) -> None:
+        if self.debug:
+            self._debug_print(name)
         in_ch = self.channels
         self.height = _out_size(self.height, size, stride, padding)
         self.width = _out_size(self.width, size, stride, padding)
@@ -107,6 +118,8 @@ class NetTracer:
             (name, self.height * self.width * self.channels))
 
     def fc(self, name: str, hiddens: int, relu: bool) -> None:
+        if self.debug:
+            self._debug_print(name)
         dim = self.height * self.width * self.channels
         self.model_size_counter.append((name, (dim + 1) * hiddens))
         flops = 2 * dim * hiddens + hiddens

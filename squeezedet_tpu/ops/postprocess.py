@@ -30,12 +30,15 @@ def _filter_one(boxes, probs, cls_idx, *, top_n: int, nms_thresh: float,
                 prob_thresh: float = None):
     """Single image: [A, 4], [A], [A] -> top_n-shaped results.
 
-    Tie-break parity: the host reference ranks by
-    ``probs.argsort()[:-N-1:-1]`` — stable ascending argsort reversed,
-    so equal scores rank the LARGER anchor index first.  ``lax.top_k``
-    prefers the smaller index, so run it on the index-reversed vector
-    and map back (same trick as the matcher's reversed argmax,
-    device_pipeline.py)."""
+    Tie-break convention: the host reference ranks by
+    ``probs.argsort()[:-N-1:-1]``; under *stable-sort* semantics that
+    ranks equal scores LARGER anchor index first.  (numpy's default
+    argsort is an unstable quicksort, so the reference's exact
+    equal-score order is actually unspecified — this path commits to
+    the deterministic stable-sort convention, which our host oracle
+    ``ops/nms.py`` also uses.)  ``lax.top_k`` prefers the smaller
+    index, so run it on the index-reversed vector and map back (same
+    trick as the matcher's reversed argmax, device_pipeline.py)."""
     from squeezedet_tpu.ops.boxes import pairwise_iou_center
 
     num = probs.shape[0]

@@ -63,6 +63,10 @@ def _build_from_checkpoint(args):
     # minus the in-program relayout copy of the uint8 frame
     from squeezedet_tpu.serving import negotiated_inference_fn
     fn, input_format = negotiated_inference_fn(det, 1, params)
+    # close over a device-resident copy: load_params returns host numpy
+    # arrays, and handing those to the compiled fn would re-transfer the
+    # full weight set on every request
+    params = jax.device_put(params)
 
     meta = {"class_names": list(cfg.class_names),
             "image_height": cfg.image_height,

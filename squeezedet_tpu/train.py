@@ -77,8 +77,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help='Fuse K train steps into one scanned device '
                         'program (amortizes dispatch/transfer overhead '
                         'on tunnel- or PCIe-attached hosts). Requires '
-                        '--device_assign; viz/histogram summaries need '
-                        'K=1.')
+                        '--device_assign; viz/histogram summaries and '
+                        '--profile_steps traces need K=1 (a warning is '
+                        'printed if they are combined).')
     p.add_argument('--compilation_cache', default='',
                    help='Persistent XLA compilation cache dir: '
                         'restarted jobs reload executables instead of '
@@ -158,6 +159,11 @@ def main(argv=None):
             is_primary_process():
         import shutil
         shutil.rmtree(args.train_dir)
+    if jax.process_count() > 1:
+        # barrier: peers must not makedirs/write into a shared train_dir
+        # while the primary's fresh_start rmtree is still in flight
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices("fresh_start_rmtree")
     os.makedirs(args.train_dir, exist_ok=True)
     # one event-file writer per job, not per controller
     writer = SummaryWriter(args.train_dir) if is_primary_process() \

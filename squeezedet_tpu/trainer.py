@@ -329,6 +329,17 @@ def train(det: Detector, imdb, *, train_dir: str, max_steps: int,
         raise ValueError("--steps_per_dispatch > 1 requires "
                          "--device_assign (the scanned program fuses "
                          "the anchor matcher per step)")
+    if steps_per_dispatch > 1:
+        skipped = [flag for flag, on in (
+            ("--profile_steps", step_tracer is not None),
+            ("--summary_step viz images", bool(viz_step)),
+            ("--histogram_step", bool(histogram_step))) if on]
+        if skipped:
+            print("WARNING: steps_per_dispatch={} fuses K steps into one "
+                  "device program; per-step host-side summaries are not "
+                  "produced on this path — ignoring: {}. Use "
+                  "--steps_per_dispatch 1 to capture them.".format(
+                      steps_per_dispatch, ", ".join(skipped)))
 
     rng = jax.random.key(seed)
     rng, init_rng = jax.random.split(rng)
@@ -346,6 +357,24 @@ def train(det: Detector, imdb, *, train_dir: str, max_steps: int,
 
     # auto-resume from latest checkpoint (train.py:243-245)
     ckpt = CheckpointManager(train_dir)
+    if jax.process_count() > 1:
+        # Multihost checkpointing requires train_dir on SHARED storage:
+        # orbax writes the replicated tree from the primary host only,
+        # so with per-host local dirs the peers would find no checkpoint
+        # on resume, desync the step loop, and hang on collectives.
+        # Assert every controller sees the same latest step up front.
+        from jax.experimental import multihost_utils
+
+        from squeezedet_tpu.checkpoint.manager import latest_step
+        local_latest = latest_step(train_dir)
+        steps = np.asarray(multihost_utils.process_allgather(
+            np.asarray(-1 if local_latest is None else local_latest,
+                       np.int64)))
+        assert (steps == steps[0]).all(), (
+            "Controllers disagree on the latest checkpoint in {} "
+            "(per-process latest steps: {}). Multihost training needs "
+            "train_dir on storage shared by every host — see "
+            "MIGRATION.md.".format(train_dir, steps.tolist()))
     if resume:
         step, restored = ckpt.restore_latest(state.as_tree())
         if step is not None:

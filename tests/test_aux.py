@@ -139,3 +139,30 @@ def test_model_metrics_report(tmp_path):
     assert "Number of flops by layer:" in content
     total = sum(v for _, v in tracer.model_size_counter)
     assert "total: {}".format(total) in content
+
+
+def test_debug_mode_layer_shape_prints(capsys):
+    """DEBUG_MODE prints 'Input tensor shape to <layer>: <shape>' for
+    every conv/fc layer at init (nn_skeleton.py:510-511, 618-619)."""
+    import jax
+
+    from squeezedet_tpu.models import get_model
+
+    cfg = tiny_test_config(image_width=64, image_height=64,
+                           batch_size=2).replace(debug_mode=True)
+    det = get_model("squeezeDet", cfg)
+    det.init(jax.random.key(0))
+    out = capsys.readouterr().out
+    assert "Input tensor shape to conv1: (2, 64, 64, 3)" in out
+    assert "Input tensor shape to conv12:" in out
+    # squeeze layer of the first fire module is a conv layer too
+    assert "Input tensor shape to fire2/squeeze1x1:" in out
+
+
+def test_reset_cursor_is_public_and_locked(kitti_root):
+    cfg = tiny_test_config(image_width=64, image_height=64, batch_size=2)
+    imdb = Kitti("val", kitti_root, cfg)
+    imdb.read_image_batch(shuffle=False)
+    assert imdb._cur_idx != 0
+    imdb.reset_cursor()
+    assert imdb._cur_idx == 0

@@ -23,12 +23,32 @@ import os
 import random
 import shutil
 import threading
+from dataclasses import dataclass
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
 from squeezedet_tpu.config import ModelConfig
 from squeezedet_tpu.ops.boxes import batch_iou
+
+
+@dataclass
+class BatchPlan:
+    """One batch's sampler decisions, drawn atomically under the lock.
+
+    ``seq`` is the draw sequence number (monotonic per imdb); ``state``
+    is the sampler snapshot taken immediately AFTER this batch's draws,
+    i.e. the state a resumed run restores to continue with the NEXT
+    batch.  ``augment`` holds the per-image ((dx, dy), flip) decisions
+    (None when augmentation is off), so the pixel work that consumes
+    the plan draws no RNG at all — any thread can execute it in any
+    order without perturbing the stream.
+    """
+
+    seq: int
+    batch_idx: List[str]
+    augment: Optional[List[Tuple[Tuple[int, int], bool]]]
+    state: Dict[str, np.ndarray]
 
 
 class Imdb:
@@ -48,6 +68,7 @@ class Imdb:
         # batch reader state
         self._perm_idx: Optional[List[str]] = None
         self._cur_idx = 0
+        self._draw_seq = 0
         self._lock = threading.Lock()
         self._size_cache: Dict[str, Tuple[int, int]] = {}
 
@@ -117,25 +138,31 @@ class Imdb:
         epoch permutation, the cursor, and the augmentation RNG.  Saved
         alongside checkpoints so a resumed run continues the data stream
         where it left off instead of restarting the epoch (the reference
-        restarts the stream on resume, train.py:243-245).  With a
-        prefetch depth > 0 the snapshot can run up to the queue capacity
-        (plus in-flight batches) ahead of the batches the train step
-        actually consumed — resume never replays a consumed batch, it
-        can only skip part of the prefetch lead; shrinking threads and
-        capacity shrinks that lead."""
+        restarts the stream on resume, train.py:243-245).
+
+        The trainer checkpoints the *consumed* batch's snapshot (each
+        :class:`BatchPlan` carries its own post-draw state through the
+        prefetch queue), so resume is bit-exact: the resumed run redraws
+        exactly the batches after the last one the train step consumed.
+        Calling this method directly snapshots the producer-side state
+        instead, which with a prefetch depth > 0 can run up to the queue
+        capacity (plus in-flight batches) ahead of consumption."""
         with self._lock:
-            key, pos, has_gauss, cached = self._rng.get_state()[1:]
-            perm = getattr(self, "_perm_order", None)
-            return {
-                "perm_order": (np.asarray(perm, np.int64)
-                               if perm is not None
-                               else np.zeros((0,), np.int64)),
-                "cur_idx": np.asarray(self._cur_idx, np.int64),
-                "rng_key": np.asarray(key, np.uint32),
-                "rng_pos": np.asarray(pos, np.int64),
-                "rng_has_gauss": np.asarray(has_gauss, np.int64),
-                "rng_cached_gaussian": np.asarray(cached, np.float64),
-            }
+            return self._sampler_state_locked()
+
+    def _sampler_state_locked(self) -> Dict[str, np.ndarray]:
+        key, pos, has_gauss, cached = self._rng.get_state()[1:]
+        perm = getattr(self, "_perm_order", None)
+        return {
+            "perm_order": (np.asarray(perm, np.int64)
+                           if perm is not None
+                           else np.zeros((0,), np.int64)),
+            "cur_idx": np.asarray(self._cur_idx, np.int64),
+            "rng_key": np.asarray(key, np.uint32),
+            "rng_pos": np.asarray(pos, np.int64),
+            "rng_has_gauss": np.asarray(has_gauss, np.int64),
+            "rng_cached_gaussian": np.asarray(cached, np.float64),
+        }
 
     def set_sampler_state(self, state: Dict[str, np.ndarray]) -> None:
         """Restore a :meth:`sampler_state` snapshot (inverse op)."""
@@ -162,38 +189,103 @@ class Imdb:
 
     def _next_batch_idx(self, shuffle: bool) -> List[str]:
         """Thread-safe version of the index window logic (imdb.py:115-127)."""
-        mc = self.mc
         with self._lock:
-            if shuffle:
-                if self._cur_idx + mc.batch_size >= len(self._image_idx):
-                    self._shuffle_image_idx()
-                batch_idx = self._perm_idx[
+            return self._next_batch_idx_locked(shuffle)
+
+    def _next_batch_idx_locked(self, shuffle: bool) -> List[str]:
+        mc = self.mc
+        if shuffle:
+            if self._cur_idx + mc.batch_size >= len(self._image_idx):
+                self._shuffle_image_idx()
+            batch_idx = self._perm_idx[
+                self._cur_idx:self._cur_idx + mc.batch_size]
+            self._cur_idx += mc.batch_size
+        else:
+            if self._cur_idx + mc.batch_size >= len(self._image_idx):
+                batch_idx = (
+                    self._image_idx[self._cur_idx:]
+                    + self._image_idx[:self._cur_idx + mc.batch_size
+                                      - len(self._image_idx)])
+                self._cur_idx += mc.batch_size - len(self._image_idx)
+            else:
+                batch_idx = self._image_idx[
                     self._cur_idx:self._cur_idx + mc.batch_size]
                 self._cur_idx += mc.batch_size
-            else:
-                if self._cur_idx + mc.batch_size >= len(self._image_idx):
-                    batch_idx = (
-                        self._image_idx[self._cur_idx:]
-                        + self._image_idx[:self._cur_idx + mc.batch_size
-                                          - len(self._image_idx)])
-                    self._cur_idx += mc.batch_size - len(self._image_idx)
-                else:
-                    batch_idx = self._image_idx[
-                        self._cur_idx:self._cur_idx + mc.batch_size]
-                    self._cur_idx += mc.batch_size
         return batch_idx
+
+    def next_draw_seq(self) -> int:
+        """The sequence number the next :meth:`draw_batch_plan` will get
+        (loaders capture this at start to ticket their enqueue order)."""
+        with self._lock:
+            return self._draw_seq
+
+    def _gt_boxes_for(self, idx: str) -> np.ndarray:
+        return np.array(
+            [[b[0], b[1], b[2], b[3]] for b in self._rois[idx][:]])
+
+    def draw_batch_plan(self, shuffle: bool = True) -> BatchPlan:
+        """Draw one batch's sampler decisions ATOMICALLY: the index
+        window (including any epoch reshuffle), every image's
+        augmentation values in reference order (dy, dx, flip per image,
+        imdb.py:161-180), a monotonic sequence number, and the post-draw
+        sampler snapshot.
+
+        Because all RNG consumption happens inside one critical section,
+        the input stream's *content* is a deterministic function of the
+        seed regardless of how many prefetch threads execute the plans —
+        and carrying ``plan.state`` with the produced batch gives the
+        trainer an exact consumption-time resume point.
+        """
+        mc = self.mc
+        with self._lock:
+            batch_idx = self._next_batch_idx_locked(shuffle)
+            augment = None
+            if mc.data_augmentation:
+                augment = [
+                    self._draw_augment_locked(self._gt_boxes_for(idx))
+                    for idx in batch_idx]
+            seq = self._draw_seq
+            self._draw_seq += 1
+            state = self._sampler_state_locked()
+        return BatchPlan(seq=seq, batch_idx=batch_idx, augment=augment,
+                         state=state)
 
     def _image_path_at(self, idx: str) -> str:
         raise NotImplementedError
 
     # -- augmentation ---------------------------------------------------------
+    def _draw_augment_locked(self, gt_bbox: np.ndarray
+                             ) -> Tuple[Tuple[int, int], bool]:
+        """RNG half of the augmentation: draw (dy, dx, flip) in the
+        reference's call order (imdb.py:161-180) — caller holds the
+        sampler lock.  The reference draws unlocked from 4 threads
+        (benign only under the GIL, SURVEY §5.2); here every draw is
+        part of the batch's atomic plan."""
+        mc = self.mc
+        dx = dy = 0
+        if mc.drift_x > 0 or mc.drift_y > 0:
+            # largest drift that keeps every GT box inside the image
+            # (imdb.py:155-162)
+            max_drift_x = min(gt_bbox[:, 0] - gt_bbox[:, 2] / 2.0 + 1)
+            max_drift_y = min(gt_bbox[:, 1] - gt_bbox[:, 3] / 2.0 + 1)
+            assert max_drift_x >= 0 and max_drift_y >= 0, \
+                'bbox out of image'
+            dy = self._rng.randint(-mc.drift_y,
+                                   min(mc.drift_y + 1, max_drift_y))
+            dx = self._rng.randint(-mc.drift_x,
+                                   min(mc.drift_x + 1, max_drift_x))
+        flip = bool(self._rng.randint(2) > 0.5)
+        return (dx, dy), flip
+
     def _augment(self, gt_bbox: np.ndarray, orig_w: float, orig_h: float,
-                 im: Optional[np.ndarray] = None):
+                 im: Optional[np.ndarray] = None,
+                 plan_aug: Optional[Tuple[Tuple[int, int], bool]] = None):
         """Drift crop + 50% horizontal flip, shared by every reader.
 
-        Draws RNG values in the reference's call order — dy, dx, then
-        flip (imdb.py:161-180) — so all three batch paths consume the
-        stream identically; a parity test pins this.  Shifts the GT
+        With ``plan_aug`` the (dx, dy, flip) decisions come pre-drawn
+        from a :class:`BatchPlan` and no RNG is consumed here; without
+        it the values are drawn under the lock (reference call order:
+        dy, dx, then flip — a parity test pins this).  Shifts the GT
         boxes and (when ``im`` is given) applies the zero-padded crop
         and flip to the pixels; the native loader passes ``im=None``
         and replays (dx, dy, flip) in its C++ thread pool.
@@ -201,26 +293,12 @@ class Imdb:
         Returns (im, gt_bbox, orig_w, orig_h, (dx, dy), flip).
         """
         mc = self.mc
-        dx = dy = 0
+        if plan_aug is not None:
+            (dx, dy), flip = plan_aug
+        else:
+            with self._lock:
+                (dx, dy), flip = self._draw_augment_locked(gt_bbox)
         drift = mc.drift_x > 0 or mc.drift_y > 0
-        # Draw every RNG value under the sampler lock: the reference
-        # draws unlocked from 4 threads (benign only under the GIL,
-        # SURVEY §5.2), and sampler_state() snapshots the RNG — an
-        # unlocked draw racing the snapshot would tear the saved MT
-        # state.  Draw order stays dy, dx, flip.
-        with self._lock:
-            if drift:
-                # largest drift that keeps every GT box inside the image
-                # (imdb.py:155-162)
-                max_drift_x = min(gt_bbox[:, 0] - gt_bbox[:, 2] / 2.0 + 1)
-                max_drift_y = min(gt_bbox[:, 1] - gt_bbox[:, 3] / 2.0 + 1)
-                assert max_drift_x >= 0 and max_drift_y >= 0, \
-                    'bbox out of image'
-                dy = self._rng.randint(-mc.drift_y,
-                                       min(mc.drift_y + 1, max_drift_y))
-                dx = self._rng.randint(-mc.drift_x,
-                                       min(mc.drift_x + 1, max_drift_x))
-            flip = self._rng.randint(2) > 0.5
         if drift:
             gt_bbox[:, 0] -= dx
             gt_bbox[:, 1] -= dy
@@ -289,34 +367,40 @@ class Imdb:
             scales.append((mc.image_width / orig_w, mc.image_height / orig_h))
         return images, scales
 
-    def read_batch(self, shuffle: bool = True):
+    def read_batch(self, shuffle: bool = True,
+                   plan: Optional[BatchPlan] = None):
         """Images + training annotations (imdb.py:99-249).
 
         Returns (image_per_batch, label_per_batch, delta_per_batch,
         aidx_per_batch, bbox_per_batch) exactly like the reference.
+        ``plan`` supplies pre-drawn sampler decisions (prefetch path);
+        without it one is drawn here — same RNG stream either way.
         """
         import cv2
         mc = self.mc
-        batch_idx = self._next_batch_idx(shuffle)
+        if mc.data_augmentation:
+            assert mc.drift_x >= 0 and mc.drift_y > 0, \
+                'mc.DRIFT_X and mc.DRIFT_Y must be >= 0'
+        if plan is None:
+            plan = self.draw_batch_plan(shuffle)
+        batch_idx = plan.batch_idx
 
         image_per_batch, label_per_batch = [], []
         bbox_per_batch, delta_per_batch, aidx_per_batch = [], [], []
         debug_stats = AssignStats() if mc.debug_mode else None
 
-        for idx in batch_idx:
+        for bi, idx in enumerate(batch_idx):
             im = cv2.imread(self._image_path_at(idx)).astype(np.float32)
             im -= mc.bgr_means_array()
             orig_h, orig_w, _ = [float(v) for v in im.shape]
 
             label_per_batch.append([b[4] for b in self._rois[idx][:]])
-            gt_bbox = np.array(
-                [[b[0], b[1], b[2], b[3]] for b in self._rois[idx][:]])
+            gt_bbox = self._gt_boxes_for(idx)
 
             if mc.data_augmentation:
-                assert mc.drift_x >= 0 and mc.drift_y > 0, \
-                    'mc.DRIFT_X and mc.DRIFT_Y must be >= 0'
                 im, gt_bbox, orig_w, orig_h, _, _ = self._augment(
-                    gt_bbox, orig_w, orig_h, im)
+                    gt_bbox, orig_w, orig_h, im,
+                    plan_aug=plan.augment[bi])
 
             im = cv2.resize(im, (mc.image_width, mc.image_height))
             image_per_batch.append(im)
@@ -339,7 +423,8 @@ class Imdb:
 
     def read_batch_raw_targets(self, shuffle: bool = True,
                                max_gt: int = 48,
-                               uint8_images: bool = False):
+                               uint8_images: bool = False,
+                               plan: Optional[BatchPlan] = None):
         """Like :meth:`read_batch` but defers anchor assignment.
 
         Host does exactly the reference image path (imread, mean
@@ -360,7 +445,9 @@ class Imdb:
         """
         import cv2
         mc = self.mc
-        batch_idx = self._next_batch_idx(shuffle)
+        if plan is None:
+            plan = self.draw_batch_plan(shuffle)
+        batch_idx = plan.batch_idx
 
         b = len(batch_idx)
         gt_out = np.zeros((b, max_gt, 4), np.float32)
@@ -371,7 +458,7 @@ class Imdb:
             from squeezedet_tpu.native import dataloader as ndl
             if ndl.available():
                 return self._read_raw_targets_native(
-                    ndl, batch_idx, max_gt, gt_out, labels_out, num_gt)
+                    ndl, plan, max_gt, gt_out, labels_out, num_gt)
 
         images = np.zeros((b, mc.image_height, mc.image_width, 3),
                           np.uint8 if uint8_images else np.float32)
@@ -382,13 +469,12 @@ class Imdb:
                 im -= mc.bgr_means_array()
             orig_h, orig_w, _ = [float(v) for v in im.shape]
             labels = [box[4] for box in self._rois[idx][:]]
-            gt_bbox = np.array(
-                [[box[0], box[1], box[2], box[3]]
-                 for box in self._rois[idx][:]])
+            gt_bbox = self._gt_boxes_for(idx)
 
             if mc.data_augmentation:
                 im, gt_bbox, orig_w, orig_h, _, _ = self._augment(
-                    gt_bbox, orig_w, orig_h, im)
+                    gt_bbox, orig_w, orig_h, im,
+                    plan_aug=plan.augment[bi])
 
             images[bi] = cv2.resize(im, (mc.image_width, mc.image_height))
             gt_bbox[:, 0::2] *= mc.image_width / orig_w
@@ -403,27 +489,26 @@ class Imdb:
 
         return images, gt_out, labels_out, num_gt
 
-    def _read_raw_targets_native(self, ndl, batch_idx, max_gt, gt_out,
+    def _read_raw_targets_native(self, ndl, plan, max_gt, gt_out,
                                  labels_out, num_gt):
         """Native-loader variant of read_batch_raw_targets: augmentation
-        decisions + GT box math in Python (same RNG call order as the
-        reference: dy, dx, then flip — imdb.py:161-180), pixel work in
-        the C++ thread pool."""
+        decisions + GT box math in Python (pre-drawn in the plan, same
+        RNG call order as the reference: dy, dx, then flip —
+        imdb.py:161-180), pixel work in the C++ thread pool."""
         mc = self.mc
         paths, drifts, flips = [], [], []
-        for bi, idx in enumerate(batch_idx):
+        for bi, idx in enumerate(plan.batch_idx):
             paths.append(self._image_path_at(idx))
             orig_w, orig_h = (float(v) for v in self._image_size(idx))
             labels = [box[4] for box in self._rois[idx][:]]
-            gt_bbox = np.array(
-                [[box[0], box[1], box[2], box[3]]
-                 for box in self._rois[idx][:]])
+            gt_bbox = self._gt_boxes_for(idx)
 
             dxdy = (0, 0)
             flip = False
             if mc.data_augmentation:
                 _, gt_bbox, orig_w, orig_h, dxdy, flip = self._augment(
-                    gt_bbox, orig_w, orig_h, im=None)
+                    gt_bbox, orig_w, orig_h, im=None,
+                    plan_aug=plan.augment[bi])
 
             drifts.append(dxdy)
             flips.append(flip)

@@ -222,6 +222,55 @@ def make_train_step_device_scan(det: Detector, tx, k: int, mesh=None,
     return jax.jit(step_fn, **kwargs)
 
 
+def _write_loss_summaries(summary_writer, cfg, step: int, lb) -> None:
+    """Per-step scalar summaries, shared by the single-step and scanned
+    loops (reference loss summaries, nn_skeleton.py:18-29 + LR/IoU)."""
+    summary_writer.scalar("loss/total_loss", float(lb.total), step)
+    summary_writer.scalar("loss/confidence_loss", float(lb.conf_loss),
+                          step)
+    summary_writer.scalar("loss/bounding_box_loss", float(lb.bbox_loss),
+                          step)
+    summary_writer.scalar("loss/class_loss", float(lb.class_loss), step)
+    summary_writer.scalar("mean_iou", float(lb.mean_iou), step)
+    summary_writer.scalar("learning_rate", learning_rate_at(cfg, step),
+                          step)
+
+
+def _save_checkpoint(ckpt, train_dir: str, imdb, loader, rng, params,
+                     opt_state, *, next_step: int, max_steps: int,
+                     totals) -> TrainState:
+    """Divergence-gated checkpoint + input-stream snapshot, shared by
+    both loops.  Saves under the last covered step (``next_step - 1``);
+    blocks only on the final save so the returned state is durable.
+
+    The input-stream snapshot is the CONSUMED batch's sampler state
+    (carried through the prefetch queue with each item), so resume
+    redraws exactly the batches after the last one this run trained on
+    — bit-exact, independent of the prefetch lead.  ``jax_rng_key`` is
+    the host key after this step's split, continuing the dropout/step
+    RNG trajectory.
+    """
+    totals = np.asarray(totals)
+    # a NaN state must never be checkpointed (and then auto-resumed
+    # from); the reference checks every step (train.py:313-315), we
+    # gate at least before each save.
+    assert np.isfinite(totals).all(), (
+        'Model diverged (losses = {}); refusing to checkpoint at step '
+        '{}'.format(totals, next_step - 1))
+    state = TrainState(params=jax.device_get(params),
+                       opt_state=jax.device_get(opt_state),
+                       step=next_step)
+    # async for intermediate steps: the ~50 MB write overlaps the next
+    # train steps; the final step blocks so the returned state is
+    # durable before the loop exits.
+    ckpt.save(next_step - 1, state.as_tree(), wait=next_step == max_steps)
+    stream_state = loader.consumed_state() or imdb.sampler_state()
+    np.savez(_sampler_ckpt_path(train_dir, next_step - 1),
+             jax_rng_key=np.asarray(jax.random.key_data(rng)),
+             **stream_state)
+    return state
+
+
 def viz_prediction_images(det: Detector, params, images_np, targets,
                           max_images: int = 8):
     """Draw GT (green) + filtered predictions (red/class colors) on the
@@ -536,34 +585,15 @@ def train(det: Detector, imdb, *, train_dir: str, max_steps: int,
                     sys.stdout.flush()
                 if summary_writer is not None and \
                         any(s % summary_step == 0 for s in covered):
-                    summary_writer.scalar("loss/total_loss",
-                                          float(lb_last.total), last)
-                    summary_writer.scalar("loss/confidence_loss",
-                                          float(lb_last.conf_loss), last)
-                    summary_writer.scalar("loss/bounding_box_loss",
-                                          float(lb_last.bbox_loss), last)
-                    summary_writer.scalar("loss/class_loss",
-                                          float(lb_last.class_loss), last)
-                    summary_writer.scalar("mean_iou",
-                                          float(lb_last.mean_iou), last)
-                    summary_writer.scalar("learning_rate",
-                                          learning_rate_at(cfg, last),
-                                          last)
+                    _write_loss_summaries(summary_writer, cfg, last,
+                                          lb_last)
                 step += k_done
                 if any(s % checkpoint_step == 0 for s in covered) or \
                         step == max_steps:
-                    assert np.isfinite(totals).all(), (
-                        'Model diverged (losses = {}); refusing to '
-                        'checkpoint at step {}'.format(totals, step))
-                    state = TrainState(params=jax.device_get(params),
-                                       opt_state=jax.device_get(opt_state),
-                                       step=step)
-                    ckpt.save(step - 1, state.as_tree(),
-                              wait=step == max_steps)
-                    np.savez(
-                        _sampler_ckpt_path(train_dir, step - 1),
-                        jax_rng_key=np.asarray(jax.random.key_data(rng)),
-                        **imdb.sampler_state())
+                    state = _save_checkpoint(
+                        ckpt, train_dir, imdb, loader, rng, params,
+                        opt_state, next_step=step, max_steps=max_steps,
+                        totals=totals)
             state = TrainState(params=jax.device_get(params),
                                opt_state=jax.device_get(opt_state),
                                step=max_steps)
@@ -618,15 +648,7 @@ def train(det: Detector, imdb, *, train_dir: str, max_steps: int,
                     'bbox_loss: {}, class_loss: {}'.format(
                         loss_value, conf_loss, bbox_loss, class_loss))
             if do_summary:
-                summary_writer.scalar("loss/total_loss", loss_value, step)
-                summary_writer.scalar("loss/confidence_loss", conf_loss,
-                                      step)
-                summary_writer.scalar("loss/bounding_box_loss", bbox_loss,
-                                      step)
-                summary_writer.scalar("loss/class_loss", class_loss, step)
-                summary_writer.scalar("mean_iou", float(lb.mean_iou), step)
-                summary_writer.scalar("learning_rate",
-                                      learning_rate_at(cfg, step), step)
+                _write_loss_summaries(summary_writer, cfg, step, lb)
                 if viz_step and step % viz_step == 0:
                     if targets is None and viz_assign is not None:
                         targets = viz_assign(
@@ -672,25 +694,10 @@ def train(det: Detector, imdb, *, train_dir: str, max_steps: int,
                 sys.stdout.flush()
 
             if step % checkpoint_step == 0 or (step + 1) == max_steps:
-                # divergence gate independent of the logging cadence: a
-                # NaN state must never be checkpointed (and then auto-
-                # resumed from); the reference checks every step
-                # (train.py:313-315), we check at least before each save.
-                ckpt_loss = float(lb.total)
-                assert np.isfinite(ckpt_loss), (
-                    'Model diverged (loss = {}); refusing to checkpoint '
-                    'at step {}'.format(ckpt_loss, step))
-                state = TrainState(params=jax.device_get(params),
-                                   opt_state=jax.device_get(opt_state),
-                                   step=step + 1)
-                # async for intermediate steps: the ~50 MB write overlaps
-                # the next train steps; the final step blocks so the
-                # returned state is durable before the loop exits.
-                ckpt.save(step, state.as_tree(),
-                          wait=(step + 1) == max_steps)
-                np.savez(_sampler_ckpt_path(train_dir, step),
-                         jax_rng_key=np.asarray(jax.random.key_data(rng)),
-                         **imdb.sampler_state())
+                state = _save_checkpoint(
+                    ckpt, train_dir, imdb, loader, rng, params, opt_state,
+                    next_step=step + 1, max_steps=max_steps,
+                    totals=float(lb.total))
         state = TrainState(params=jax.device_get(params),
                            opt_state=jax.device_get(opt_state),
                            step=max_steps)

@@ -624,3 +624,67 @@ def test_train_loop_steps_per_dispatch(kitti_root, cfg, tmp_path):
                    checkpoint_step=10, summary_step=1000, log_every=1,
                    device_assign=True, steps_per_dispatch=2)
     assert state2.step == 6
+
+def test_loader_stream_deterministic_and_exact_resume(kitti_root, cfg):
+    """Multi-threaded prefetch: (a) the batch stream is a deterministic
+    function of the seed for any thread count (batch-atomic RNG draws +
+    ticketed enqueue), and (b) restoring the CONSUMED batch's carried
+    sampler state replays the subsequent stream bit-exactly."""
+    aug = cfg.replace(data_augmentation=True, drift_x=30, drift_y=20)
+    db1 = Kitti("train", kitti_root, aug, rng=np.random.RandomState(7))
+    l1 = PrefetchLoader(db1, num_threads=3, capacity=2,
+                        device_targets=True, max_gt=8).start()
+    try:
+        batches, states = [], []
+        for _ in range(5):
+            batches.append(l1.get(timeout=30))
+            states.append(l1.consumed_state())
+    finally:
+        l1.stop()
+
+    # fresh imdb with a different seed; restore post-batch-3 state and
+    # expect batches 4..5 bit-identically
+    db2 = Kitti("train", kitti_root, aug, rng=np.random.RandomState(123))
+    db2.set_sampler_state(states[2])
+    l2 = PrefetchLoader(db2, num_threads=3, capacity=2,
+                        device_targets=True, max_gt=8).start()
+    try:
+        got = [l2.get(timeout=30) for _ in range(2)]
+    finally:
+        l2.stop()
+    for a, b in zip(batches[3:], got):
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_train_resume_is_bit_exact(kitti_root, tmp_path):
+    """Kill training mid-run, resume from the checkpoint, and the final
+    params must be BIT-identical to an uninterrupted run: the consumed
+    batch's sampler snapshot plus the saved step-RNG key reconstruct the
+    exact remaining trajectory (VERDICT r2 item 6)."""
+    from squeezedet_tpu.config import tiny_test_config
+    cfg = tiny_test_config(image_width=96, image_height=96, batch_size=2
+                           ).replace(data_augmentation=True, drift_x=20,
+                                     drift_y=12, num_thread=3)
+    det = get_model("squeezeDet", cfg)
+
+    # uninterrupted: 4 steps
+    db_a = Kitti("train", kitti_root, cfg, rng=np.random.RandomState(3))
+    state_a = train(det, db_a, train_dir=str(tmp_path / "a"), max_steps=4,
+                    checkpoint_step=100, summary_step=1000, log_every=1,
+                    device_assign=True, max_gt=8, seed=11)
+
+    # interrupted at 2, resumed to 4
+    db_b = Kitti("train", kitti_root, cfg, rng=np.random.RandomState(3))
+    train(det, db_b, train_dir=str(tmp_path / "b"), max_steps=2,
+          checkpoint_step=100, summary_step=1000, log_every=1,
+          device_assign=True, max_gt=8, seed=11)
+    db_b2 = Kitti("train", kitti_root, cfg, rng=np.random.RandomState(77))
+    state_b = train(det, db_b2, train_dir=str(tmp_path / "b"), max_steps=4,
+                    checkpoint_step=100, summary_step=1000, log_every=1,
+                    device_assign=True, max_gt=8, seed=11)
+
+    leaves_a = jax.tree_util.tree_leaves(state_a.params)
+    leaves_b = jax.tree_util.tree_leaves(state_b.params)
+    for a, b in zip(leaves_a, leaves_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -118,6 +118,119 @@ def bench(batch_size: int = 128, iters: int = 30, warmup: int = 5,
     }
 
 
+def bench_stream(batch_size: int = 128, iters: int = 30,
+                 compute_dtype: str = "bfloat16", net: str = "squeezeDet",
+                 native_loader: bool = False) -> dict:
+    """END-TO-END streaming throughput: every iteration feeds a FRESH
+    batch through host->device transfer (and, with ``native_loader``,
+    through PNG decode on the C++ thread pool first), so the number
+    includes ingest — matching the reference eval protocol, whose timer
+    counts ``im_read`` (eval.py:66-97).  The device-resident number in
+    :func:`bench` isolates compute; this one is the servable rate.
+
+    Transfers pipeline with compute through JAX async dispatch: the
+    loop enqueues device_put(batch i+1) while batch i executes, like a
+    double-buffered input pipeline would in production.
+    """
+    import jax
+    import numpy as np
+
+    from squeezedet_tpu.config import config_for_net
+    from squeezedet_tpu.models import get_model
+    from squeezedet_tpu.serving import negotiated_inference_fn
+
+    cfg = config_for_net(net).replace(
+        load_pretrained_model=False, batch_size=batch_size,
+        compute_dtype=compute_dtype)
+    det = get_model(net, cfg)
+    params, _, _ = det.init(jax.random.key(0))
+    rng = np.random.RandomState(0)
+
+    decode_paths = None
+    if native_loader:
+        # synthetic PNGs at KITTI-like resolution so the decode work is
+        # realistic; the C++ pool decodes+normalizes, the program takes
+        # f32 like the reference eval path (imdb.read_image_batch)
+        import tempfile
+
+        import cv2
+
+        from squeezedet_tpu.native import dataloader as ndl
+        ndl.build()
+        d = tempfile.mkdtemp(prefix="bench_stream_png_")
+        decode_paths = []
+        for i in range(batch_size):
+            im = rng.randint(0, 255, (375, 1242, 3), np.uint8)
+            p = "{}/{:06d}.png".format(d, i)
+            cv2.imwrite(p, im)
+            decode_paths.append(p)
+        fn = jax.jit(lambda p, x: det.postprocess_device(
+            det.predict(p, x)))
+        input_format = None
+
+        def next_batch():
+            images, _ = ndl.load_image_batch(
+                decode_paths, cfg.image_width, cfg.image_height,
+                cfg.bgr_means, cfg.num_thread)
+            return jax.device_put(images)
+    else:
+        # DEFAULT entry layout, not the negotiated tiled one: when the
+        # input is streamed, device_put to a tiled Format repacks on the
+        # HOST (measured 0.04 GB/s on this tunnel-attached host vs
+        # 1.29 GB/s for the default layout — 30x); letting the device
+        # program do the relayout costs one on-device copy instead.
+        # The negotiated layout wins only for device-resident inputs
+        # (bench --mode inference) or hosts whose DMA engine tiles for
+        # free.
+        fn = jax.jit(det.predict_raw_postprocessed)
+        # rotate distinct host buffers so no transfer is ever elided
+        host = [rng.randint(0, 255,
+                            (batch_size, cfg.image_height,
+                             cfg.image_width, 3), np.uint8)
+                for _ in range(4)]
+
+        def next_batch(i=[0]):
+            x = host[i[0] % len(host)]
+            i[0] += 1
+            return jax.device_put(x)
+
+    params = jax.device_put(params)
+    out = fn(params, next_batch())
+    jax.block_until_ready(out)
+    for _ in range(3):
+        out = fn(params, next_batch())
+    jax.block_until_ready(out)
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(params, next_batch())
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    images_per_sec = batch_size * iters / dt
+
+    bytes_per_image = cfg.image_height * cfg.image_width * 3 * (
+        4 if native_loader else 1)
+    ingest_gbps = images_per_sec * bytes_per_image / 1e9
+    return {
+        "metric": "stream_images_per_sec_per_chip",
+        "value": round(images_per_sec, 1),
+        "unit": "img/s",
+        "vs_baseline": round(images_per_sec / 2000.0, 3),
+        "detail": {
+            "net": net,
+            "batch_size": batch_size,
+            "resolution": [cfg.image_height, cfg.image_width],
+            "compute_dtype": compute_dtype,
+            "includes_postprocess": True,
+            "includes_host_to_device_transfer": True,
+            "includes_png_decode": bool(native_loader),
+            "input_dtype": "float32" if native_loader else "uint8",
+            "ingest_gb_per_sec": round(ingest_gbps, 2),
+            "ms_per_batch": round(dt / iters * 1000, 2),
+        },
+    }
+
+
 def bench_train(batch_size: int = 64, iters: int = 10,
                 compute_dtype: str = "bfloat16",
                 net: str = "squeezeDet") -> dict:
@@ -174,7 +287,11 @@ def bench_train(batch_size: int = 64, iters: int = 10,
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", default="inference",
-                    choices=["inference", "train"])
+                    choices=["inference", "train", "stream"])
+    ap.add_argument("--native_loader", action="store_true",
+                    help="stream mode: decode synthetic PNGs through "
+                         "the C++ loader each iteration (reference "
+                         "eval protocol incl. im_read)")
     ap.add_argument("--batch_size", type=int, default=128)
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--net", default="squeezeDet")
@@ -185,6 +302,11 @@ def main():
     if args.mode == "train":
         result = bench_train(batch_size=args.batch_size,
                              net=args.net, compute_dtype=args.dtype)
+    elif args.mode == "stream":
+        result = bench_stream(batch_size=args.batch_size,
+                              iters=args.iters, net=args.net,
+                              compute_dtype=args.dtype,
+                              native_loader=args.native_loader)
     else:
         result = bench(batch_size=args.batch_size, iters=args.iters,
                        net=args.net, compute_dtype=args.dtype,

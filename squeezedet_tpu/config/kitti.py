@@ -146,6 +146,19 @@ def custom_kitti_config(net: str, image_width: int, image_height: int,
         drift_y=max(1, round(100 * image_height / 384.0)))
 
 
+def config_for_net_at(net: str, image_width: int = 0,
+                      image_height: int = 0) -> ModelConfig:
+    """Net config at its canonical resolution, or a custom one when
+    either override is non-zero (the CLI --image_width/--image_height
+    contract shared by train/eval/demo)."""
+    from squeezedet_tpu.config import config_for_net
+    if not (image_width or image_height):
+        return config_for_net(net)
+    base = config_for_net(net)
+    return custom_kitti_config(net, image_width or base.image_width,
+                               image_height or base.image_height)
+
+
 def tiny_test_config(
     net: str = "squeezeDet",
     image_width: int = 96,

@@ -23,7 +23,9 @@ import numpy as np
 
 def build_arg_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="Evaluate SqueezeDet (TPU)")
-    p.add_argument('--dataset', default='KITTI')
+    p.add_argument('--dataset', default='KITTI',
+                   help='KITTI or VOC (the reference plumbs VOC but '
+                        'asserts KITTI-only, eval.py:138).')
     p.add_argument('--data_path', default='', help='Root directory of data')
     p.add_argument('--image_set', default='test')
     p.add_argument('--year', default='2007')
@@ -195,7 +197,8 @@ def eval_checkpoint(det, imdb, params, global_step, *, eval_dir,
                               num_detection / num_images, step)
         summary_writer.flush()
 
-    if not skip_analysis:
+    if not skip_analysis and hasattr(imdb, 'do_detection_analysis_in_eval'):
+        # the error-type taxonomy is KITTI-specific (kitti.py:161-296)
         print('Analyzing detections...')
         imdb.do_detection_analysis_in_eval(eval_dir, global_step)
     return aps, ap_names, mAP
@@ -203,7 +206,8 @@ def eval_checkpoint(det, imdb, params, global_step, *, eval_dir,
 
 def main(argv=None):
     args = build_arg_parser().parse_args(argv)
-    assert args.dataset == 'KITTI', 'Currently only supports KITTI dataset'
+    assert args.dataset in ('KITTI', 'VOC', 'PASCAL_VOC'), \
+        'Only KITTI and VOC datasets are supported'
     if args.compilation_cache:
         from squeezedet_tpu.utils.util import enable_compilation_cache
         enable_compilation_cache(args.compilation_cache)
@@ -212,19 +216,18 @@ def main(argv=None):
 
     from squeezedet_tpu.checkpoint.manager import (CheckpointManager,
                                                    latest_step)
-    from squeezedet_tpu.config import config_for_net
-    from squeezedet_tpu.data import Kitti
+    from squeezedet_tpu.config.kitti import config_for_net_at
+    from squeezedet_tpu.config.voc import voc_config_for_net
+    from squeezedet_tpu.data import Kitti, PascalVoc
     from squeezedet_tpu.models import get_model
     from squeezedet_tpu.summary import SummaryWriter
 
-    if args.image_width or args.image_height:
-        from squeezedet_tpu.config.kitti import custom_kitti_config
-        base = config_for_net(args.net)
-        cfg = custom_kitti_config(
-            args.net, args.image_width or base.image_width,
-            args.image_height or base.image_height)
+    if args.dataset == 'KITTI':
+        cfg = config_for_net_at(args.net, args.image_width,
+                                args.image_height)
     else:
-        cfg = config_for_net(args.net)
+        cfg = voc_config_for_net(args.net, args.image_width,
+                                 args.image_height)
     cfg = cfg.replace(
         batch_size=args.eval_batch_size, load_pretrained_model=False,
         is_training=False)
@@ -235,7 +238,10 @@ def main(argv=None):
         ndl.build()
         cfg = cfg.replace(use_native_loader=True)
     det = get_model(args.net, cfg)
-    imdb = Kitti(args.image_set, args.data_path, cfg)
+    if args.dataset == 'KITTI':
+        imdb = Kitti(args.image_set, args.data_path, cfg)
+    else:
+        imdb = PascalVoc(args.image_set, args.year, args.data_path, cfg)
     os.makedirs(args.eval_dir, exist_ok=True)
     writer = SummaryWriter(args.eval_dir)
 

@@ -17,7 +17,8 @@ import numpy as np
 def build_arg_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="Train SqueezeDet (TPU)")
     p.add_argument('--dataset', default='KITTI',
-                   help='Currently only support KITTI dataset.')
+                   help='KITTI or VOC (the reference plumbs VOC but '
+                        'asserts KITTI-only, train.py:104).')
     p.add_argument('--data_path', default='', help='Root directory of data')
     p.add_argument('--image_set', default='train',
                    help='Can be train, trainval, val, or test')
@@ -100,26 +101,26 @@ def build_arg_parser() -> argparse.ArgumentParser:
 
 def main(argv=None):
     args = build_arg_parser().parse_args(argv)
-    assert args.dataset == 'KITTI', 'Currently only support KITTI dataset'
+    assert args.dataset in ('KITTI', 'VOC', 'PASCAL_VOC'), \
+        'Only KITTI and VOC datasets are supported'
     if args.compilation_cache:
         from squeezedet_tpu.utils.util import enable_compilation_cache
         enable_compilation_cache(args.compilation_cache)
 
-    from squeezedet_tpu.config import config_for_net
-    from squeezedet_tpu.config.kitti import custom_kitti_config
-    from squeezedet_tpu.data import Kitti
+    from squeezedet_tpu.config.kitti import config_for_net_at
+    from squeezedet_tpu.config.voc import voc_config_for_net
+    from squeezedet_tpu.data import Kitti, PascalVoc
     from squeezedet_tpu.models import get_model
     from squeezedet_tpu.parallel.mesh import make_mesh
     from squeezedet_tpu.summary import SummaryWriter
     from squeezedet_tpu.trainer import train
 
-    if args.image_width or args.image_height:
-        base = config_for_net(args.net)
-        cfg = custom_kitti_config(
-            args.net, args.image_width or base.image_width,
-            args.image_height or base.image_height)
+    if args.dataset == 'KITTI':
+        cfg = config_for_net_at(args.net, args.image_width,
+                                args.image_height)
     else:
-        cfg = config_for_net(args.net)
+        cfg = voc_config_for_net(args.net, args.image_width,
+                                 args.image_height)
     if args.batch_size:
         cfg = cfg.replace(batch_size=args.batch_size)
     cfg = cfg.replace(
@@ -146,9 +147,12 @@ def main(argv=None):
     det = get_model(args.net, cfg)
     # per-process seed: each controller must draw its own shuffle and
     # augmentations; same-seeded hosts would feed identical shards
-    imdb = Kitti(args.image_set, args.data_path, cfg,
-                 rng=np.random.RandomState(
-                     args.seed + jax.process_index()))
+    imdb_rng = np.random.RandomState(args.seed + jax.process_index())
+    if args.dataset == 'KITTI':
+        imdb = Kitti(args.image_set, args.data_path, cfg, rng=imdb_rng)
+    else:
+        imdb = PascalVoc(args.image_set, args.year, args.data_path, cfg,
+                         rng=imdb_rng)
     if jax.process_count() > 1:
         # disjoint strided shard of the image list per controller
         # (cfg.batch_size is the per-host batch; the global batch is

@@ -178,3 +178,53 @@ def test_tf1_import_bn_names_beyond_res_family(tmp_path):
     assert "bn_conv1" in weights and "scale_conv1" in weights
     assert len(weights["bn_conv1"]) == 2     # [mean, var]
     assert len(weights["scale_conv1"]) == 2  # [gamma, beta]
+
+
+def test_import_checkpoint_cli_tf1_to_native(tmp_path, capsys):
+    """squeezedet-import converts a reference-named TF1 checkpoint into
+    a native orbax dir that restore_params accepts (the first stage of
+    scripts/parity_vs_reference.sh).  Conv kernel shapes are resolution-
+    independent, so a checkpoint written from tiny-config params is
+    exactly what the flagship-config import expects."""
+    from squeezedet_tpu.checkpoint.manager import (CheckpointManager,
+                                                   latest_step)
+    from squeezedet_tpu.config import config_for_net
+    from squeezedet_tpu.tools import import_checkpoint
+
+    cfg = tiny_test_config()
+    det = get_model("squeezeDet", cfg)
+    ref_params, _, _ = det.init(jax.random.key(7))
+
+    tf.compat.v1.reset_default_graph()
+    with tf.compat.v1.Session() as sess:
+        def add(scope, p):
+            tf.compat.v1.get_variable(scope + "/kernels",
+                                      initializer=np.asarray(p["kernel"]))
+            tf.compat.v1.get_variable(scope + "/biases",
+                                      initializer=np.asarray(p["bias"]))
+        for name, p in ref_params.items():
+            if "kernel" in p:
+                add(name, p)
+            else:
+                for sub, sp in p.items():
+                    add(name + "/" + sub, sp)
+        sess.run(tf.compat.v1.global_variables_initializer())
+        ckpt = str(tmp_path / "model.ckpt-87000")
+        tf.compat.v1.train.Saver().save(sess, ckpt)
+
+    out_dir = str(tmp_path / "native")
+    import_checkpoint.main(["--checkpoint", ckpt, "--out_dir", out_dir,
+                            "--step", "87000"])
+    assert latest_step(out_dir) == 87000
+
+    full = config_for_net("squeezeDet").replace(
+        load_pretrained_model=False, batch_size=1)
+    full_det = get_model("squeezeDet", full)
+    template, _, _ = full_det.init(jax.random.key(0))
+    restored = CheckpointManager(out_dir).restore_params(87000, template)
+    np.testing.assert_allclose(
+        np.asarray(restored["conv1"]["kernel"]),
+        np.asarray(ref_params["conv1"]["kernel"]), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(restored["fire9"]["expand3x3"]["bias"]),
+        np.asarray(ref_params["fire9"]["expand3x3"]["bias"]), rtol=1e-6)

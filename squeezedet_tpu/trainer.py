@@ -267,6 +267,7 @@ def _save_checkpoint(ckpt, train_dir: str, imdb, loader, rng, params,
     stream_state = loader.consumed_state() or imdb.sampler_state()
     np.savez(_sampler_ckpt_path(train_dir, next_step - 1),
              jax_rng_key=np.asarray(jax.random.key_data(rng)),
+             jax_rng_impl=np.asarray(str(jax.random.key_impl(rng))),
              **stream_state)
     return state
 
@@ -366,8 +367,16 @@ def train(det: Detector, imdb, *, train_dir: str, max_steps: int,
           histogram_step: int = 0,
           activation_summary: bool = False,
           uint8_ingest: bool = False,
-          steps_per_dispatch: int = 1) -> TrainState:
-    """Full training loop (reference train.py:102-335)."""
+          steps_per_dispatch: int = 1,
+          rng_impl: str = "") -> TrainState:
+    """Full training loop (reference train.py:102-335).
+
+    ``rng_impl``: PRNG implementation for the step/dropout keys, e.g.
+    ``"rbg"`` (hardware RNG — measured +11% train throughput at batch
+    128; the dropout stream differs from the default threefry, like any
+    seed change would).  The impl is recorded in the input-stream
+    snapshot so resume reconstructs the right key type.
+    """
     cfg = det.cfg
     os.makedirs(train_dir, exist_ok=True)
     if uint8_ingest and not device_assign:
@@ -390,7 +399,8 @@ def train(det: Detector, imdb, *, train_dir: str, max_steps: int,
                   "--steps_per_dispatch 1 to capture them.".format(
                       steps_per_dispatch, ", ".join(skipped)))
 
-    rng = jax.random.key(seed)
+    rng = jax.random.key(seed, impl=rng_impl) if rng_impl \
+        else jax.random.key(seed)
     rng, init_rng = jax.random.split(rng)
     params, mask, tracer = det.init(init_rng, pretrained=pretrained)
     det.set_trainable_mask(mask)
@@ -438,8 +448,11 @@ def train(det: Detector, imdb, *, train_dir: str, max_steps: int,
                 with np.load(sampler_file) as data:
                     imdb.set_sampler_state(dict(data))
                     if "jax_rng_key" in data:
+                        impl = (str(data["jax_rng_impl"])
+                                if "jax_rng_impl" in data else None)
                         rng = jax.random.wrap_key_data(
-                            jnp.asarray(data["jax_rng_key"]))
+                            jnp.asarray(data["jax_rng_key"]),
+                            impl=impl)
                 print("Restored input-stream state ({})".format(
                     os.path.basename(sampler_file)))
 

@@ -1,6 +1,8 @@
 """Backbone structure tests: output grids, parameter counts, freezing,
 dropout behaviour."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -193,3 +195,46 @@ def test_predict_jit_wrapper_is_cached():
     fn1 = det._predict_jit_fn
     det.predict_jit(params, x)
     assert det._predict_jit_fn is fn1
+
+
+def test_dropout_u8_bits_path_statistics():
+    """keep_prob = q/256 uses one u8 of entropy per element: exact
+    Bernoulli(q/256) marginal, inverted scaling preserved, and the
+    fallback path still engages for non-representable probabilities."""
+    from squeezedet_tpu.models.layers import dropout
+    x = jnp.ones((512, 517))
+    for kp in (0.5, 0.25):
+        y = np.asarray(dropout(x, kp, jax.random.key(3), train=True))
+        kept = y > 0
+        assert abs(kept.mean() - kp) < 0.01, (kp, kept.mean())
+        np.testing.assert_allclose(y[kept], 1.0 / kp, rtol=1e-6)
+    # non-representable keep_prob -> bernoulli fallback, same contract
+    y = np.asarray(dropout(x, 1 / 3, jax.random.key(4), train=True))
+    kept = y > 0
+    assert abs(kept.mean() - 1 / 3) < 0.01
+    np.testing.assert_allclose(y[kept], 3.0, rtol=1e-5)
+
+
+def test_train_with_rbg_rng_impl_resumes(tmp_path):
+    """--rng_impl rbg trains, checkpoints the key impl, and resumes
+    with the right key type (wrap_key_data impl round-trip)."""
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from synth_kitti import make_synth_kitti
+
+    from squeezedet_tpu.config import tiny_test_config
+    from squeezedet_tpu.data import Kitti
+    from squeezedet_tpu.trainer import train
+
+    root = str(tmp_path / "kitti")
+    make_synth_kitti(root, num_images=6, width=96, height=96)
+    cfg = tiny_test_config(image_width=96, image_height=96, batch_size=2)
+    det = get_model("squeezeDet", cfg)
+    db = Kitti("train", root, cfg, rng=np.random.RandomState(0))
+    train_dir = str(tmp_path / "tr")
+    train(det, db, train_dir=train_dir, max_steps=2, checkpoint_step=1,
+          summary_step=10**6, log_every=1, rng_impl="rbg")
+    state = train(det, db, train_dir=train_dir, max_steps=3,
+                  checkpoint_step=10, summary_step=10**6, log_every=1,
+                  rng_impl="rbg")
+    assert state.step == 3

@@ -27,7 +27,8 @@ os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
 
 
 def capture(batch_size: int, k: int, net: str, compute_dtype: str,
-            logdir: str) -> float:
+            logdir: str, compiler_options=None,
+            donate: bool = False, rng_impl: str = "") -> float:
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -46,7 +47,7 @@ def capture(batch_size: int, k: int, net: str, compute_dtype: str,
     tx = build_optimizer(cfg, mask)
     # uint8 ingest (the production feed) so the dispatch transfer over
     # a tunnel-attached host doesn't swamp the wall number
-    step = make_train_step_device_scan(det, tx, k, donate=False,
+    step = make_train_step_device_scan(det, tx, k, donate=donate,
                                        uint8_ingest=True)
 
     rng = np.random.RandomState(0)
@@ -59,18 +60,36 @@ def capture(batch_size: int, k: int, net: str, compute_dtype: str,
                       [900, 300, 50, 70]]
     labels = jnp.asarray(np.zeros((k, batch_size, g), np.int32))
     num_gt = jnp.asarray(np.full((k, batch_size), 3, np.int32))
-    keys = jax.random.split(jax.random.key(1), k)
-    args = (params, tx.init(params), images, jnp.asarray(gt), labels,
-            num_gt, keys)
+    root = jax.random.key(1, impl=rng_impl) if rng_impl \
+        else jax.random.key(1)
+    keys = jax.random.split(root, k)
+    opt0 = tx.init(params)
+    host_p = jax.device_get(params)
+    host_o = jax.device_get(opt0)
 
+    def fresh_args():
+        # donated params/opt-state are consumed per call; rebuild them
+        return (jax.device_put(host_p), jax.device_put(host_o), images,
+                jnp.asarray(gt), labels, num_gt, keys)
+
+    args = fresh_args()
+    if compiler_options:
+        # TPU-backend flags can't go through client XLA_FLAGS when the
+        # backend is a plugin (compilation happens behind the PJRT
+        # boundary); jit's compiler_options reaches the real compiler.
+        step = step.lower(*args).compile(
+            compiler_options=compiler_options)
     out = step(*args)
     jax.block_until_ready(out)
     import time
+    args = fresh_args()
+    jax.block_until_ready(args)  # exclude arg transfer from the wall
     t0 = time.perf_counter()
     out = step(*args)
     jax.block_until_ready(out)
     wall = (time.perf_counter() - t0) / k
 
+    args = fresh_args()
     jax.profiler.start_trace(logdir)
     out = step(*args)
     jax.block_until_ready(out)
@@ -149,10 +168,23 @@ def main():
     ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--keep_raw", action="store_true",
                     help="print the raw tool payload instead of a table")
+    ap.add_argument("--compiler_option", action="append", default=[],
+                    help="key=value TPU compiler option (repeatable), "
+                         "e.g. xla_tpu_scoped_vmem_limit_kib=65536")
+    ap.add_argument("--donate", action="store_true",
+                    help="donate params/opt-state buffers (the "
+                         "production train-loop configuration)")
+    ap.add_argument("--rng_impl", default="",
+                    help="PRNG implementation for the step keys "
+                         "(e.g. rbg) — dropout bit generation shows up "
+                         "in the profile under threefry")
     args = ap.parse_args()
 
+    opts = dict(kv.split("=", 1) for kv in args.compiler_option)
     logdir = args.logdir or tempfile.mkdtemp(prefix="sdprof_")
-    wall = capture(args.batch_size, args.k, args.net, args.dtype, logdir)
+    wall = capture(args.batch_size, args.k, args.net, args.dtype, logdir,
+                   compiler_options=opts or None, donate=args.donate,
+                   rng_impl=args.rng_impl)
     print("wall per step: {:.2f} ms  ({:.1f} img/s)".format(
         wall * 1000, args.batch_size / wall))
 

@@ -186,16 +186,97 @@ def init_conv(key, tracer: NetTracer, name: str, filters: int, size: int,
     return params, mask
 
 
-def conv2d(params: Params, x, stride: int, padding: str = "SAME",
-           relu: bool = True):
-    """NHWC conv + bias (+ relu).  Matches tf.nn.conv2d 'SAME'/'VALID'."""
-    kernel = params["kernel"].astype(x.dtype)
-    y = jax.lax.conv_general_dilated(
+# --- optional Pallas filter-gradient path (--pallas_grads) -----------------
+#
+# False: plain XLA autodiff.  "1x1": stride-1 SAME *1x1* convs with
+# C % 128 == 0 and 16-aligned spatial size route their backward *filter*
+# gradient through the Pallas huge-K GEMM kernel (ops/filter_grad.py);
+# data gradients stay on XLA's transposed conv.  True: additionally
+# route odd-sized spatial kernels (3x3, 5x5).  "interpret": like True,
+# in Pallas interpreter mode (CPU test path).
+#
+# MEASURED OUTCOME (round 3, batch 128 K=3, v5e): the kernel is 3.7x
+# faster than XLA on an isolated 1x1 filter grad (0.163 vs 0.610 ms),
+# but BOTH modes are a net loss at the full-program level — device
+# self-time 61.4 (off) vs 64.4 ("1x1") vs 65.3 ms/step (True) — because
+# the custom VJP severs XLA's conv/elementwise fusions and forces
+# residual materialization (new copy-start/slice-start ops around every
+# routed conv).  Kept as a tested, default-off experimental lever; see
+# PARITY.md train-step roofline.  Module-level because it's a
+# tracing-time choice, like compute dtype.  NOT supported under
+# multi-device meshes (a pallas_call is not SPMD-partitionable); the
+# trainer only enables it on 1-device meshes.
+_PALLAS_FILTER_GRAD = False
+
+
+def set_pallas_filter_grad(mode) -> None:
+    """Enable/disable the Pallas filter-grad backward (False/"1x1"/
+    True/'interpret').  Affects subsequently *traced* programs."""
+    global _PALLAS_FILTER_GRAD
+    assert mode in (False, True, "1x1", "interpret"), mode
+    _PALLAS_FILTER_GRAD = mode
+
+
+def _pallas_dw_eligible(x, kernel) -> bool:
+    kh, kw, c, _ = kernel.shape
+    if not _PALLAS_FILTER_GRAD:
+        return False
+    if kh % 2 != 1 or kw % 2 != 1 or c % 128 != 0:
+        return False
+    if _PALLAS_FILTER_GRAD == "1x1" and not (
+            kh == kw == 1 and (x.shape[1] * x.shape[2]) % 16 == 0):
+        return False
+    return _PALLAS_FILTER_GRAD in ("interpret",) or \
+        jax.default_backend() == "tpu"
+
+
+@jax.custom_vjp
+def _conv_s1_same(x, kernel):
+    return jax.lax.conv_general_dilated(
+        x, kernel, (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def _conv_s1_same_fwd(x, kernel):
+    return _conv_s1_same(x, kernel), (x, kernel)
+
+
+def _conv_s1_same_bwd(res, g):
+    from squeezedet_tpu.ops.filter_grad import filter_grad
+    x, kernel = res
+    kh, kw = kernel.shape[:2]
+    # data grad: correlate g with the spatially-flipped, IO-swapped
+    # kernel (standard transposed-conv identity for stride 1 SAME)
+    kflip = jnp.flip(kernel, (0, 1)).swapaxes(2, 3)
+    dx = jax.lax.conv_general_dilated(
+        g, kflip, (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    dw = filter_grad(x, g, kh=kh, kw=kw,
+                     interpret=_PALLAS_FILTER_GRAD == "interpret")
+    return dx, dw.astype(kernel.dtype)
+
+
+_conv_s1_same.defvjp(_conv_s1_same_fwd, _conv_s1_same_bwd)
+
+
+def _conv_op(x, kernel, stride: int, padding: str):
+    """The raw convolution, routed through the Pallas-backward custom
+    VJP when enabled and applicable."""
+    if stride == 1 and padding == "SAME" and _pallas_dw_eligible(x, kernel):
+        return _conv_s1_same(x, kernel)
+    return jax.lax.conv_general_dilated(
         x, kernel,
         window_strides=(stride, stride),
         padding=padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
+
+
+def conv2d(params: Params, x, stride: int, padding: str = "SAME",
+           relu: bool = True):
+    """NHWC conv + bias (+ relu).  Matches tf.nn.conv2d 'SAME'/'VALID'."""
+    kernel = params["kernel"].astype(x.dtype)
+    y = _conv_op(x, kernel, stride, padding)
     y = y + params["bias"].astype(y.dtype)
     if relu:
         y = jnp.maximum(y, 0)
@@ -406,12 +487,8 @@ def conv2d_pair(params: Params, xa, xb, stride: int = 1,
     """
     k = params["kernel"]
     ca = xa.shape[-1]
-    ya = jax.lax.conv_general_dilated(
-        xa, k[:, :, :ca].astype(xa.dtype), (stride, stride), "SAME",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))
-    yb = jax.lax.conv_general_dilated(
-        xb, k[:, :, ca:].astype(xb.dtype), (stride, stride), "SAME",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    ya = _conv_op(xa, k[:, :, :ca].astype(xa.dtype), stride, "SAME")
+    yb = _conv_op(xb, k[:, :, ca:].astype(xb.dtype), stride, "SAME")
     y = ya + yb + params["bias"].astype(ya.dtype)
     return jnp.maximum(y, 0) if relu else y
 

@@ -99,6 +99,15 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "differs from the default threefry like any "
                         "seed change would). Recorded in checkpoints "
                         "so resume keeps the key type.")
+    p.add_argument('--pallas_grads', action='store_true',
+                   help='EXPERIMENTAL: route eligible 1x1 filter '
+                        'gradients through the Pallas huge-K GEMM '
+                        'backward kernel (ops/filter_grad.py). Measured '
+                        'a small net LOSS on the full squeezeDet step '
+                        '(custom-VJP fusion breaks outweigh the 3.7x '
+                        'isolated kernel win — see PARITY.md); kept for '
+                        'profiling other geometries. Single-device '
+                        'only; ignored on multi-device meshes.')
     p.add_argument('--activation_summary', action='store_true',
                    help='Also emit five-stat activation summaries '
                         '(histogram/sparsity/mean/max/min per layer, '
@@ -203,7 +212,7 @@ def main(argv=None):
           activation_summary=args.activation_summary,
           uint8_ingest=args.uint8_ingest,
           steps_per_dispatch=args.steps_per_dispatch,
-          rng_impl=args.rng_impl)
+          rng_impl=args.rng_impl, pallas_grads=args.pallas_grads)
     if writer is not None:
         writer.close()
 

@@ -368,7 +368,8 @@ def train(det: Detector, imdb, *, train_dir: str, max_steps: int,
           activation_summary: bool = False,
           uint8_ingest: bool = False,
           steps_per_dispatch: int = 1,
-          rng_impl: str = "") -> TrainState:
+          rng_impl: str = "",
+          pallas_grads: bool = False) -> TrainState:
     """Full training loop (reference train.py:102-335).
 
     ``rng_impl``: PRNG implementation for the step/dropout keys, e.g.
@@ -459,6 +460,17 @@ def train(det: Detector, imdb, *, train_dir: str, max_steps: int,
     if mesh is None and len(jax.devices()) > 1:
         from squeezedet_tpu.parallel.mesh import auto_mesh
         mesh = auto_mesh(cfg.batch_size)
+    if pallas_grads:
+        # Pallas filter-grad backward for stride-1 SAME convs
+        # (ops/filter_grad.py).  A pallas_call is not SPMD-partitionable,
+        # so this is a single-device-only optimization.
+        if mesh is not None and mesh.devices.size > 1:
+            print("WARNING: --pallas_grads is single-device only; "
+                  "ignoring it on a {}-device mesh.".format(
+                      mesh.devices.size))
+        else:
+            from squeezedet_tpu.models import layers
+            layers.set_pallas_filter_grad("1x1")
     if device_assign:
         train_step = make_train_step_device(det, tx, mesh=mesh,
                                             uint8_ingest=uint8_ingest)

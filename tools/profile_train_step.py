@@ -28,7 +28,8 @@ os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
 
 def capture(batch_size: int, k: int, net: str, compute_dtype: str,
             logdir: str, compiler_options=None,
-            donate: bool = False, rng_impl: str = "") -> float:
+            donate: bool = False, rng_impl: str = "",
+            pallas_grads: str = "") -> float:
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -37,6 +38,11 @@ def capture(batch_size: int, k: int, net: str, compute_dtype: str,
     from squeezedet_tpu.models import get_model
     from squeezedet_tpu.optim import build_optimizer
     from squeezedet_tpu.trainer import make_train_step_device_scan
+
+    if pallas_grads:
+        from squeezedet_tpu.models import layers
+        layers.set_pallas_filter_grad(
+            True if pallas_grads == "all" else pallas_grads)
 
     cfg = config_for_net(net).replace(
         load_pretrained_model=False, batch_size=batch_size,
@@ -178,13 +184,19 @@ def main():
                     help="PRNG implementation for the step keys "
                          "(e.g. rbg) — dropout bit generation shows up "
                          "in the profile under threefry")
+    ap.add_argument("--pallas_grads", default="",
+                    choices=["", "1x1", "all"],
+                    help="route eligible filter grads through the "
+                         "Pallas backward kernel (ops/filter_grad.py); "
+                         "'1x1' = reshape-only frames, 'all' = also "
+                         "3x3/5x5 (measured net loss)")
     args = ap.parse_args()
 
     opts = dict(kv.split("=", 1) for kv in args.compiler_option)
     logdir = args.logdir or tempfile.mkdtemp(prefix="sdprof_")
     wall = capture(args.batch_size, args.k, args.net, args.dtype, logdir,
                    compiler_options=opts or None, donate=args.donate,
-                   rng_impl=args.rng_impl)
+                   rng_impl=args.rng_impl, pallas_grads=args.pallas_grads)
     print("wall per step: {:.2f} ms  ({:.1f} img/s)".format(
         wall * 1000, args.batch_size / wall))
 

@@ -48,6 +48,14 @@ def load_params(det, checkpoint: str):
     from squeezedet_tpu.checkpoint.manager import (CheckpointManager,
                                                    latest_step)
 
+    if checkpoint in ("", "none"):
+        # random-init smoke mode: exercises the full pipeline (decode,
+        # NMS, drawing, timing) without weights — useful for perf
+        # measurements and installs without the released checkpoint
+        params, _, _ = det.init(jax.random.key(0))
+        print('WARNING: --checkpoint none — random weights, detections '
+              'are meaningless (timing/pipeline smoke mode)')
+        return params
     if os.path.isdir(checkpoint):
         template_params, _, _ = det.init(jax.random.key(0))
         step = latest_step(checkpoint)
@@ -134,6 +142,8 @@ def video_demo(args):
             args.demo_net)
     cfg = config_for_net(args.demo_net).replace(
         batch_size=1, load_pretrained_model=False)
+    if args.compute_dtype:
+        cfg = cfg.replace(compute_dtype=args.compute_dtype)
     det = get_model(args.demo_net, cfg)
     params = load_params(det, args.checkpoint)
     predict = jax.jit(det.predict)

@@ -24,3 +24,13 @@ def voc_config_for_net(net: str, image_width: int = 0,
     cfg = config_for_net_at(net, image_width, image_height)
     return cfg.replace(dataset="PASCAL_VOC",
                        class_names=PASCAL_VOC_CLASS_NAMES)
+
+
+def config_for_dataset(dataset: str, net: str, image_width: int = 0,
+                       image_height: int = 0) -> ModelConfig:
+    """Config dispatch shared by the train/eval CLIs: ``dataset`` is
+    ``KITTI`` or ``VOC``/``PASCAL_VOC`` (the CLI-flag spellings)."""
+    if dataset == "KITTI":
+        return config_for_net_at(net, image_width, image_height)
+    assert dataset in ("VOC", "PASCAL_VOC"), dataset
+    return voc_config_for_net(net, image_width, image_height)

@@ -216,18 +216,13 @@ def main(argv=None):
 
     from squeezedet_tpu.checkpoint.manager import (CheckpointManager,
                                                    latest_step)
-    from squeezedet_tpu.config.kitti import config_for_net_at
-    from squeezedet_tpu.config.voc import voc_config_for_net
-    from squeezedet_tpu.data import Kitti, PascalVoc
+    from squeezedet_tpu.config.voc import config_for_dataset
+    from squeezedet_tpu.data import imdb_for_dataset
     from squeezedet_tpu.models import get_model
     from squeezedet_tpu.summary import SummaryWriter
 
-    if args.dataset == 'KITTI':
-        cfg = config_for_net_at(args.net, args.image_width,
-                                args.image_height)
-    else:
-        cfg = voc_config_for_net(args.net, args.image_width,
-                                 args.image_height)
+    cfg = config_for_dataset(args.dataset, args.net, args.image_width,
+                             args.image_height)
     cfg = cfg.replace(
         batch_size=args.eval_batch_size, load_pretrained_model=False,
         is_training=False)
@@ -238,10 +233,8 @@ def main(argv=None):
         ndl.build()
         cfg = cfg.replace(use_native_loader=True)
     det = get_model(args.net, cfg)
-    if args.dataset == 'KITTI':
-        imdb = Kitti(args.image_set, args.data_path, cfg)
-    else:
-        imdb = PascalVoc(args.image_set, args.year, args.data_path, cfg)
+    imdb = imdb_for_dataset(args.dataset, args.image_set, args.data_path,
+                            cfg, year=args.year)
     os.makedirs(args.eval_dir, exist_ok=True)
     writer = SummaryWriter(args.eval_dir)
 

@@ -226,7 +226,7 @@ def _pallas_dw_eligible(x, kernel) -> bool:
     if _PALLAS_FILTER_GRAD == "1x1" and not (
             kh == kw == 1 and (x.shape[1] * x.shape[2]) % 16 == 0):
         return False
-    return _PALLAS_FILTER_GRAD in ("interpret",) or \
+    return _PALLAS_FILTER_GRAD == "interpret" or \
         jax.default_backend() == "tpu"
 
 

@@ -100,10 +100,10 @@ def _parse_blob(buf: bytes) -> np.ndarray:
     for field, wire, val in _iter_fields(buf):
         if field in (1, 2, 3, 4) and wire == _VARINT:
             legacy[field] = val
-        elif field == 5:  # repeated float data (packed or not)
-            f32_chunks.append(val if wire == _LENGTH else val)
+        elif field == 5:  # repeated float data (packed bytes or one
+            f32_chunks.append(val)  # fixed32's raw bytes — both concat)
         elif field == 8:  # repeated double double_data
-            f64_chunks.append(val if wire == _LENGTH else val)
+            f64_chunks.append(val)
         elif field == 7 and wire == _LENGTH:  # BlobShape
             dims: List[int] = []
             for sfield, swire, sval in _iter_fields(val):

@@ -123,20 +123,15 @@ def main(argv=None):
         from squeezedet_tpu.utils.util import enable_compilation_cache
         enable_compilation_cache(args.compilation_cache)
 
-    from squeezedet_tpu.config.kitti import config_for_net_at
-    from squeezedet_tpu.config.voc import voc_config_for_net
-    from squeezedet_tpu.data import Kitti, PascalVoc
+    from squeezedet_tpu.config.voc import config_for_dataset
+    from squeezedet_tpu.data import imdb_for_dataset
     from squeezedet_tpu.models import get_model
     from squeezedet_tpu.parallel.mesh import make_mesh
     from squeezedet_tpu.summary import SummaryWriter
     from squeezedet_tpu.trainer import train
 
-    if args.dataset == 'KITTI':
-        cfg = config_for_net_at(args.net, args.image_width,
-                                args.image_height)
-    else:
-        cfg = voc_config_for_net(args.net, args.image_width,
-                                 args.image_height)
+    cfg = config_for_dataset(args.dataset, args.net, args.image_width,
+                             args.image_height)
     if args.batch_size:
         cfg = cfg.replace(batch_size=args.batch_size)
     cfg = cfg.replace(
@@ -163,12 +158,10 @@ def main(argv=None):
     det = get_model(args.net, cfg)
     # per-process seed: each controller must draw its own shuffle and
     # augmentations; same-seeded hosts would feed identical shards
-    imdb_rng = np.random.RandomState(args.seed + jax.process_index())
-    if args.dataset == 'KITTI':
-        imdb = Kitti(args.image_set, args.data_path, cfg, rng=imdb_rng)
-    else:
-        imdb = PascalVoc(args.image_set, args.year, args.data_path, cfg,
-                         rng=imdb_rng)
+    imdb = imdb_for_dataset(
+        args.dataset, args.image_set, args.data_path, cfg,
+        year=args.year,
+        rng=np.random.RandomState(args.seed + jax.process_index()))
     if jax.process_count() > 1:
         # disjoint strided shard of the image list per controller
         # (cfg.batch_size is the per-host batch; the global batch is

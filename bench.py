@@ -32,9 +32,10 @@ def bench(batch_size: int = 128, iters: int = 30, warmup: int = 5,
     from squeezedet_tpu.config import config_for_net
     from squeezedet_tpu.models import get_model
 
+    quant = compute_dtype == "int8"
     cfg = config_for_net(net).replace(
         load_pretrained_model=False, batch_size=batch_size,
-        compute_dtype=compute_dtype)
+        compute_dtype="bfloat16" if quant else compute_dtype)
     det = get_model(net, cfg)
     params, _, _ = det.init(jax.random.key(0))
 
@@ -61,7 +62,15 @@ def bench(batch_size: int = 128, iters: int = 30, warmup: int = 5,
         return jax.jit(fn)
 
     input_format = None
-    if uint8_input and postprocess:
+    if quant:
+        # int8 PTQ serving path (quant.py): calibrate on one batch of
+        # the benchmark distribution, then run the full uint8 ->
+        # detections program on the MXU int8 path
+        assert uint8_input and postprocess, \
+            "--dtype int8 implies the uint8 postprocessed program"
+        params = det.quantize(params, [np.asarray(make_inputs(batch_size))])
+        fn = jax.jit(det.predict_quant_postprocessed)
+    elif uint8_input and postprocess:
         # serving path: XLA-negotiated entry layout removes the
         # relayout copy after the uint8 normalize fusion (the DMA
         # engine produces tiled layouts for free on real TPU hosts)
@@ -88,7 +97,9 @@ def bench(batch_size: int = 128, iters: int = 30, warmup: int = 5,
 
     p50_ms = None
     if measure_latency:
-        lat_fn = make_fn()  # default layout for the batch-1 shape
+        # default layout for the batch-1 shape
+        lat_fn = jax.jit(det.predict_quant_postprocessed) if quant \
+            else make_fn()
         img1 = make_inputs(1)
         out = lat_fn(params, img1)
         jax.block_until_ready(out)

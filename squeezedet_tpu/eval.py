@@ -53,10 +53,36 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help='Render recall/precision curve images from the '
                         'scorer plot data (matplotlib stand-in for the '
                         'reference gnuplot path, evaluate_object.cpp:583).')
+    p.add_argument('--quantize', default='', choices=['', 'int8'],
+                   help='Post-training int8 quantization: calibrate on '
+                        'the first --calib_batches eval batches, then '
+                        'run the whole backbone on the MXU int8 path '
+                        '(quant.py; squeezeDet/squeezeDet+/vgg16).')
+    p.add_argument('--calib_batches', type=int, default=4,
+                   help='Calibration batches for --quantize.')
     return p
 
 
-def detect_all(det, imdb, params, batch_size: int):
+def quantize_on_split(det, imdb, params, calib_batches: int):
+    """PTQ calibrated on the first ``calib_batches`` batches of the
+    split (unshuffled, cursor restored afterwards).  Returns the int8
+    parameter tree for ``detect_all(..., quant=True)``."""
+    from squeezedet_tpu.quant import (calibrate_normalized,
+                                      quantize_detector)
+    imdb.reset_cursor()
+
+    def batches():
+        for _ in range(calib_batches):
+            images, _ = imdb.read_image_batch(shuffle=False)
+            yield np.stack(images)
+
+    qparams = quantize_detector(
+        det, params, calibrate_normalized(det, params, batches()))
+    imdb.reset_cursor()
+    return qparams
+
+
+def detect_all(det, imdb, params, batch_size: int, quant: bool = False):
     """Run detection over the whole split.
 
     When several devices are visible and the batch divides over them,
@@ -74,6 +100,9 @@ def detect_all(det, imdb, params, batch_size: int):
     from squeezedet_tpu.ops.boxes import bbox_transform
     from squeezedet_tpu.utils.util import Timer
 
+    # with quant=True, ``params`` is the int8 tree from
+    # quantize_on_split and the forward runs the MXU int8 path
+    base_predict = det.predict_quant_normalized if quant else det.predict
     num_images = len(imdb.image_idx)
     all_boxes = [[[] for _ in range(num_images)]
                  for _ in range(imdb.num_classes)]
@@ -91,7 +120,7 @@ def detect_all(det, imdb, params, batch_size: int):
             mesh.devices.size))
         rep = replicated_sharding(mesh)
         params = jax.device_put(params, rep)
-        predict_jit = jax.jit(det.predict, in_shardings=(
+        predict_jit = jax.jit(base_predict, in_shardings=(
             rep, batch_sharding(mesh)))
 
         def predict(p, images):
@@ -109,10 +138,10 @@ def detect_all(det, imdb, params, batch_size: int):
             smesh.devices.size))
         rep = replicated_sharding(smesh)
         params = jax.device_put(params, rep)
-        predict = jax.jit(det.predict, in_shardings=(
+        predict = jax.jit(base_predict, in_shardings=(
             rep, image_sharding(smesh)), out_shardings=rep)
     else:
-        predict = jax.jit(det.predict)
+        predict = jax.jit(base_predict)
 
     num_detection = 0.0
     imdb.reset_cursor()
@@ -155,10 +184,17 @@ def detect_all(det, imdb, params, batch_size: int):
 
 def eval_checkpoint(det, imdb, params, global_step, *, eval_dir,
                     batch_size=1, summary_writer=None,
-                    skip_analysis=False, plot_pr=False):
+                    skip_analysis=False, plot_pr=False,
+                    quantize='', calib_batches=4):
     """Score one checkpoint (reference eval_once, eval.py:48-134)."""
+    if quantize:
+        assert quantize == 'int8', quantize
+        print('Quantizing (int8 PTQ, {} calibration batches)...'.format(
+            calib_batches))
+        params = quantize_on_split(det, imdb, params, calib_batches)
     all_boxes, num_detection, timers = detect_all(det, imdb, params,
-                                                  batch_size)
+                                                  batch_size,
+                                                  quant=bool(quantize))
     print('Evaluating detections...')
     aps, ap_names = imdb.evaluate_detections(eval_dir, global_step,
                                              all_boxes)
@@ -269,7 +305,9 @@ def main(argv=None):
                         batch_size=args.eval_batch_size,
                         summary_writer=writer,
                         skip_analysis=args.skip_analysis,
-                        plot_pr=args.plot_pr)
+                        plot_pr=args.plot_pr,
+                        quantize=args.quantize,
+                        calib_batches=args.calib_batches)
         if args.run_once:
             return
 

@@ -39,6 +39,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help='Override input width (0 = model default).')
     p.add_argument('--image_height', type=int, default=0,
                    help='Override input height (0 = model default).')
+    p.add_argument('--quantize', default='', choices=['', 'int8'],
+                   help='Bake in the int8 PTQ program (quant.py; 4x '
+                        'smaller weights); requires --calib_images.')
+    p.add_argument('--calib_images', default='',
+                   help='Image file or directory for --quantize '
+                        'calibration (representative frames).')
     return p
 
 
@@ -69,14 +75,26 @@ def main(argv=None):
         print("WARNING: no --checkpoint given; exporting random init")
         params, _, _ = det.init(jax.random.key(0))
 
+    if args.quantize:
+        assert args.quantize == 'int8', args.quantize
+        assert args.calib_images, "--quantize needs --calib_images"
+        from squeezedet_tpu.quant import calib_batch_from_images
+        calib = calib_batch_from_images(
+            args.calib_images, cfg.image_width, cfg.image_height)
+        print("Quantizing (int8 PTQ, {} calibration frames)...".format(
+            len(calib)))
+        params = det.quantize(params, [calib])
+
     export_model(det, params, args.out_dir, batch_size=args.batch_size,
                  uint8_input=not args.f32_input,
                  postprocess=not args.no_postprocess,
                  platforms=tuple(
-                     p.strip() for p in args.platforms.split(',') if p))
-    print("Exported {} ({} input, {}) -> {}".format(
+                     p.strip() for p in args.platforms.split(',') if p),
+                 quantized=bool(args.quantize))
+    print("Exported {} ({} input, {}{}) -> {}".format(
         args.net, 'uint8' if not args.f32_input else 'float32',
         'postprocessed' if not args.no_postprocess else 'raw',
+        ', int8' if args.quantize else '',
         args.out_dir))
 
 

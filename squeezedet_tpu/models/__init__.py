@@ -258,6 +258,54 @@ class Detector:
         """uint8 serving twin of :meth:`predict_postprocessed`."""
         return self.postprocess_device(self.predict_raw(params, images_u8))
 
+    # -- int8 serving (quant.py) ---------------------------------------------
+    def quantize(self, params, calib_batches_u8, start=""):
+        """Post-training int8 quantization: calibrate activation ranges
+        on uint8 batches, return the int8 parameter tree (quant.py).
+        ``start`` names the first quantized layer (default: the
+        measured-best boundary for this net)."""
+        from squeezedet_tpu.quant import quantize
+        return quantize(self, params, calib_batches_u8, start=start)
+
+    def predict_quant(self, qparams, images_u8) -> Interpretation:
+        """int8 serving path: uint8 BGR images -> Interpretation.
+
+        ``qparams`` from :meth:`quantize`.  The backbone runs on the
+        MXU's int8 path with int32 accumulation and int8 activations in
+        HBM; in the default hybrid mode the input conv stays float (the
+        quantized tree itself records the mode — quant.py).
+        """
+        from squeezedet_tpu.data.device_pipeline import normalize_images
+        from squeezedet_tpu.quant import (INPUT_SCALE_KEY, input_scale,
+                                          quantize_images)
+        if INPUT_SCALE_KEY in qparams:
+            x = quantize_images(images_u8, self.cfg.bgr_means,
+                                input_scale(self.cfg.bgr_means))
+        else:
+            x = normalize_images(images_u8, self.cfg.bgr_means,
+                                 jnp.dtype(self.cfg.compute_dtype))
+        preds = self.backbone.apply(qparams, x, self.cfg, train=False)
+        return self.interpret(preds.astype(jnp.float32))
+
+    def predict_quant_postprocessed(self, qparams, images_u8):
+        """int8 twin of :meth:`predict_raw_postprocessed` (full
+        uint8 -> detections program, on-device NMS included)."""
+        return self.postprocess_device(self.predict_quant(qparams,
+                                                          images_u8))
+
+    def predict_quant_normalized(self, qparams, images) -> Interpretation:
+        """int8 twin of :meth:`predict` for already-normalized float
+        images (the eval/host pipeline's format)."""
+        from squeezedet_tpu.quant import (INPUT_SCALE_KEY, input_scale,
+                                          quantize_images_normalized)
+        if INPUT_SCALE_KEY in qparams:
+            x = quantize_images_normalized(
+                images, input_scale(self.cfg.bgr_means))
+        else:
+            x = images.astype(jnp.dtype(self.cfg.compute_dtype))
+        preds = self.backbone.apply(qparams, x, self.cfg, train=False)
+        return self.interpret(preds.astype(jnp.float32))
+
 
 def get_model(net: str, cfg: Optional[ModelConfig] = None) -> Detector:
     """Look up a Detector by reference net name (train.py:111-133)."""

@@ -272,9 +272,73 @@ def _conv_op(x, kernel, stride: int, padding: str):
     )
 
 
+def _conv_op_int8(x, kernel, stride: int, padding: str):
+    """int8 x int8 -> int32 convolution (TPU MXU int8 path).
+
+    Symmetric quantization keeps SAME zero-padding exact: quantized 0
+    is real 0, so no zero-point correction is needed at the borders.
+    """
+    return jax.lax.conv_general_dilated(
+        x, kernel,
+        window_strides=(stride, stride),
+        padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32)
+
+
+def _quant_epilogue(acc_i32, params: Params, relu: bool):
+    """Scale an int32 conv accumulator into the layer's output domain.
+
+    ``mult``/``bias`` come pre-folded by quant.quantize_detector:
+    - relu layers: mult = s_in*s_w[o]/s_out, bias = b[o]/s_out, and the
+      result re-quantizes to int8 in [0, 127] (post-relu activations
+      are non-negative, so the sign bit is structurally idle).
+    - the ConvDet head (relu=False): mult = s_in*s_w[o], bias = b[o],
+      and the result stays float32 for the interpretation graph.
+    XLA fuses the whole epilogue (multiply/add/clamp/convert) into the
+    conv consumer, so the int8 tensor is what hits HBM.
+    """
+    y = acc_i32.astype(jnp.float32) * params["mult"] + params["bias"]
+    if not relu:
+        return y
+    return jnp.clip(jnp.round(jnp.maximum(y, 0.0)), 0, 127) \
+        .astype(jnp.int8)
+
+
+def is_quantized(params: Params) -> bool:
+    """True for a conv layer pytree produced by quant.quantize_detector
+    (int8 kernel + folded requant multiplier instead of f32 weights)."""
+    return "mult" in params
+
+
+def _quant_boundary(params: Params, x):
+    """Quantize a float activation entering a quantized conv.
+
+    Hybrid float->int8 boundaries (quant.py keeps the input stage in
+    float: the mean-subtract fuses into conv1 and the largest requant
+    epilogue disappears) store the producer's activation scale as
+    ``in_scale`` on the first quantized consumer; int8 inputs pass
+    through untouched.
+    """
+    if x.dtype == jnp.int8:
+        return x
+    y = x.astype(jnp.float32) * (1.0 / params["in_scale"])
+    return jnp.clip(jnp.round(y), -128, 127).astype(jnp.int8)
+
+
 def conv2d(params: Params, x, stride: int, padding: str = "SAME",
            relu: bool = True):
-    """NHWC conv + bias (+ relu).  Matches tf.nn.conv2d 'SAME'/'VALID'."""
+    """NHWC conv + bias (+ relu).  Matches tf.nn.conv2d 'SAME'/'VALID'.
+
+    With int8-quantized params (quant.quantize_detector) and an int8
+    activation tensor, computes the conv on the MXU's int8 path with
+    int32 accumulation and a folded requantization epilogue.
+    """
+    if is_quantized(params):
+        return _quant_epilogue(
+            _conv_op_int8(_quant_boundary(params, x), params["kernel"],
+                          stride, padding),
+            params, relu)
     kernel = params["kernel"].astype(x.dtype)
     y = _conv_op(x, kernel, stride, padding)
     y = y + params["bias"].astype(y.dtype)
@@ -414,7 +478,7 @@ def max_pool(x, size: int, stride: int, padding: str = "SAME"):
     """tf.nn.max_pool equivalent via reduce_window."""
     return jax.lax.reduce_window(
         x, -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else
-        jnp.iinfo(x.dtype).min,
+        jnp.asarray(jnp.iinfo(x.dtype).min, x.dtype),
         jax.lax.max,
         window_dimensions=(1, size, size, 1),
         window_strides=(1, stride, stride, 1),
@@ -487,23 +551,37 @@ def conv2d_pair(params: Params, xa, xb, stride: int = 1,
     """
     k = params["kernel"]
     ca = xa.shape[-1]
+    if is_quantized(params):
+        xa = _quant_boundary(params, xa)
+        xb = _quant_boundary(params, xb)
+        acc = _conv_op_int8(xa, k[:, :, :ca], stride, "SAME") + \
+            _conv_op_int8(xb, k[:, :, ca:], stride, "SAME")
+        return _quant_epilogue(acc, params, relu)
     ya = _conv_op(xa, k[:, :, :ca].astype(xa.dtype), stride, "SAME")
     yb = _conv_op(xb, k[:, :, ca:].astype(xb.dtype), stride, "SAME")
     y = ya + yb + params["bias"].astype(ya.dtype)
     return jnp.maximum(y, 0) if relu else y
 
 
-def fire_pair(params: Params, pair, *, pool=None, padding: str = "SAME"):
+def fire_pair(params: Params, pair, *, pool=None, padding: str = "SAME",
+              tape=None, name: str = ""):
     """Fire module over (expand1x1, expand3x3) halves, returning halves.
 
     ``pair`` is either a single tensor (first fire) or an (a, b) tuple;
     ``pool`` optionally applies (size, stride) max-pooling to both
     halves — pooling commutes with channel concatenation.
+
+    ``tape``/``name``: when tracing activations, the squeeze output is
+    recorded as ``<name>/squeeze1x1`` (the reference summarizes every
+    conv layer, nn_skeleton.py:543-547; quant calibration also needs
+    this internal activation's range).
     """
     if isinstance(pair, tuple):
         sq = conv2d_pair(params["squeeze1x1"], pair[0], pair[1], 1)
     else:
         sq = conv2d(params["squeeze1x1"], pair, 1)
+    if name:
+        record(tape, name + "/squeeze1x1", sq)
     a = conv2d(params["expand1x1"], sq, 1)
     b = conv2d(params["expand3x3"], sq, 1)
     if pool is not None:

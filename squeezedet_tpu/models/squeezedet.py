@@ -76,7 +76,8 @@ def apply(params, images, cfg, *, train: bool = False, rng=None,
     pair = x
     for name, _, _, _ in _FIRES:
         pool = (3, 2) if name in _POOL_AFTER else None
-        pair = L.fire_pair(params[name], pair, pool=pool)
+        pair = L.fire_pair(params[name], pair, pool=pool, tape=tape,
+                           name=name)
         L.record(tape, name, pair)
     if train and cfg.keep_prob < 1.0:
         r1, r2 = jax.random.split(rng)

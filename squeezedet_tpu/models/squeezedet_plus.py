@@ -59,7 +59,7 @@ def apply(params, images, cfg, *, train: bool = False, rng=None,
     for name, _, _, _ in _FIRES:
         pool = (3, 2) if name in _POOL_AFTER else None
         pair = L.fire_pair(params[name], pair, pool=pool,
-                           padding="VALID")
+                           padding="VALID", tape=tape, name=name)
         L.record(tape, name, pair)
     if train and cfg.keep_prob < 1.0:
         r1, r2 = jax.random.split(rng)

@@ -40,6 +40,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument('--prob_thresh', type=float, default=None,
                    help='Report only detections above this score '
                         '(default: the config plot threshold).')
+    p.add_argument('--quantize', default='', choices=['', 'int8'],
+                   help='Serve the int8 PTQ program (quant.py); '
+                        'requires --calib_images.')
+    p.add_argument('--calib_images', default='',
+                   help='Image file or directory for --quantize '
+                        'calibration (representative frames).')
     return p
 
 
@@ -59,10 +65,22 @@ def _build_from_checkpoint(args):
     else:
         print("WARNING: no --checkpoint/--artifact; serving random init")
         params, _, _ = det.init(jax.random.key(0))
+    quant_fn = None
+    if args.quantize:
+        assert args.quantize == 'int8', args.quantize
+        assert args.calib_images, "--quantize needs --calib_images"
+        from squeezedet_tpu.quant import calib_batch_from_images
+        calib = calib_batch_from_images(
+            args.calib_images, cfg.image_width, cfg.image_height)
+        print("Quantizing (int8 PTQ, {} calibration frames)...".format(
+            len(calib)))
+        params = det.quantize(params, [calib])
+        quant_fn = det.predict_quant_postprocessed
     # XLA-negotiated entry layout: same program jax.jit would build,
     # minus the in-program relayout copy of the uint8 frame
     from squeezedet_tpu.serving import negotiated_inference_fn
-    fn, input_format = negotiated_inference_fn(det, 1, params)
+    fn, input_format = negotiated_inference_fn(det, 1, params,
+                                               fn=quant_fn)
     # close over a device-resident copy: load_params returns host numpy
     # arrays, and handing those to the compiled fn would re-transfer the
     # full weight set on every request

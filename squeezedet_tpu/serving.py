@@ -19,18 +19,22 @@ from typing import Any, Callable, Tuple
 import jax
 
 
-def negotiated_inference_fn(det, batch_size: int,
-                            params: Any) -> Tuple[Callable, Any]:
+def negotiated_inference_fn(det, batch_size: int, params: Any,
+                            fn: Callable = None) -> Tuple[Callable, Any]:
     """Build the fully-fused uint8 -> detections program with an XLA-
     negotiated input layout.
 
     Returns ``(fn, input_format)``: call ``fn(params, images)`` where
     ``images`` was placed with ``jax.device_put(np_u8, input_format)``.
+    ``fn`` defaults to the bf16 serving program; pass
+    ``det.predict_quant_postprocessed`` (with quantized params) for the
+    int8 one.
     """
     import numpy as np
 
     cfg = det.cfg
-    fn = det.predict_raw_postprocessed
+    if fn is None:
+        fn = det.predict_raw_postprocessed
 
     spec = jax.ShapeDtypeStruct(
         (batch_size, cfg.image_height, cfg.image_width, 3), np.uint8)
@@ -51,7 +55,7 @@ def negotiated_inference_fn(det, batch_size: int,
 
 def export_model(det, params, path: str, *, batch_size: int = 1,
                  uint8_input: bool = True, postprocess: bool = True,
-                 platforms=("tpu", "cpu")) -> None:
+                 platforms=("tpu", "cpu"), quantized: bool = False) -> None:
     """Serialize the full inference program to a deployable artifact.
 
     The reference ships inference as a checkpoint plus the model-builder
@@ -62,6 +66,10 @@ def export_model(det, params, path: str, *, batch_size: int = 1,
     directory holding ``model.stablehlo`` + ``metadata.json`` (class
     names, input geometry, output contract — what a serving frontend
     needs to label and draw detections).
+
+    With ``quantized=True``, ``params`` is the int8 tree from
+    ``Detector.quantize`` and the artifact bakes in the int8 program
+    (4x smaller weights; same input/output contract).
     """
     import json
     import os
@@ -72,7 +80,10 @@ def export_model(det, params, path: str, *, batch_size: int = 1,
     cfg = det.cfg
 
     def fn(images):
-        if uint8_input:
+        if quantized:
+            interp = det.predict_quant(params, images) if uint8_input \
+                else det.predict_quant_normalized(params, images)
+        elif uint8_input:
             interp = det.predict_raw(params, images)
         else:
             interp = det.predict(params, images)
@@ -97,6 +108,7 @@ def export_model(det, params, path: str, *, batch_size: int = 1,
         "batch_size": batch_size,
         "input_dtype": "uint8" if uint8_input else "float32",
         "input_is_bgr_raw": bool(uint8_input),
+        "quantized": bool(quantized),
         "bgr_means": [float(m) for m in cfg.bgr_means],
         "postprocess": bool(postprocess),
         "outputs": ("boxes[B,K,4] cx,cy,w,h; probs[B,K]; classes[B,K]; "

@@ -58,3 +58,25 @@ def test_export_raw_interpretation_f32(tmp_path):
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_array_equal(np.asarray(classes),
                                   np.asarray(ref.det_class))
+
+
+def test_export_quantized_roundtrip(tmp_path):
+    """int8 artifact: quantized program bakes in, reloads, and matches
+    direct predict_quant_postprocessed exactly."""
+    cfg = tiny_test_config(image_width=96, image_height=96, batch_size=1)
+    det = get_model("squeezeDet", cfg)
+    params, _, _ = det.init(jax.random.key(0))
+    rng = np.random.RandomState(0)
+    im = rng.randint(0, 255, (1, 96, 96, 3), np.uint8)
+    qparams = det.quantize(params, [im])
+
+    path = str(tmp_path / "artifact_q")
+    export_model(det, qparams, path, batch_size=1, uint8_input=True,
+                 postprocess=True, platforms=("cpu",), quantized=True)
+    fn, meta = load_exported(path)
+    assert meta["quantized"] is True
+
+    ref = jax.jit(det.predict_quant_postprocessed)(qparams, im)
+    out = fn(im)
+    for a, b in zip(ref, out):
+        np.testing.assert_array_equal(np.asarray(b), np.asarray(a))

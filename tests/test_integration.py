@@ -48,3 +48,12 @@ def test_training_produces_nonzero_map(tmp_path):
     # 220 steps on 12 images: not converged, but the pipeline must show
     # real learning signal (random init scores ~0.000)
     assert mAP > 0.01, (mAP, dict(zip(names, aps)))
+
+    # int8 PTQ leg: quantized eval of the same checkpoint through the
+    # same scorer must track the float mAP (quant.py; the full-scale
+    # accuracy validation is the TPU capstone in PARITY.md)
+    _, _, mAP_q = eval_checkpoint(
+        eval_det, eval_db, state.params, 219,
+        eval_dir=str(tmp_path / "evq"), batch_size=12,
+        skip_analysis=True, quantize="int8", calib_batches=1)
+    assert mAP_q > mAP - 0.1, (mAP_q, mAP)

@@ -1,0 +1,160 @@
+"""int8 post-training quantization (squeezedet_tpu/quant.py).
+
+The reference has no quantized inference; these tests pin the TPU-native
+extension's math: exact epilogue semantics vs a numpy reference, the
+never-clipping input-scale bound, float/int8 prediction agreement on
+every supported backbone, and the partial-boundary (hybrid) mode.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from squeezedet_tpu.config import tiny_test_config
+from squeezedet_tpu.models import get_model
+from squeezedet_tpu.models import layers as L
+from squeezedet_tpu.quant import (INPUT_SCALE_KEY, _quantize_conv,
+                                  calibrate, input_scale, quantize_detector,
+                                  quantize_images)
+
+
+def test_input_scale_never_clips():
+    means = (103.939, 116.779, 123.68)  # BGR_MEANS, config.py:66
+    s = input_scale(means)
+    u8 = np.arange(256, dtype=np.uint8).reshape(1, 8, 32, 1)
+    u8 = np.repeat(u8, 3, axis=3)
+    q = np.asarray(quantize_images(jnp.asarray(u8), means, s))
+    # every uint8 value must land strictly inside int8 without clipping
+    x = u8.astype(np.float64) - np.asarray(means)
+    assert np.abs(x / s).max() <= 127.0 + 1e-6
+    assert np.array_equal(q, np.clip(np.rint(x / s), -128, 127))
+
+
+def test_conv2d_int8_matches_numpy_reference():
+    """The jitted quantized conv must agree exactly with a direct numpy
+    int32-accumulation + f32-epilogue evaluation (symmetric zero-points
+    keep SAME padding exact)."""
+    rng = np.random.RandomState(0)
+    x = rng.randint(-128, 128, (2, 6, 7, 8)).astype(np.int8)
+    k = rng.randint(-127, 128, (3, 3, 8, 5)).astype(np.int8)
+    mult = rng.uniform(1e-4, 1e-2, 5).astype(np.float32)
+    bias = rng.uniform(-1, 1, 5).astype(np.float32)
+    params = {"kernel": jnp.asarray(k), "mult": jnp.asarray(mult),
+              "bias": jnp.asarray(bias)}
+
+    got = np.asarray(jax.jit(
+        lambda p, x: L.conv2d(p, x, 1, "SAME", relu=True))(
+            params, jnp.asarray(x)))
+
+    xp = np.pad(x.astype(np.int32), ((0, 0), (1, 1), (1, 1), (0, 0)))
+    acc = np.zeros((2, 6, 7, 5), np.int32)
+    for dy in range(3):
+        for dx in range(3):
+            acc += np.einsum("bhwc,co->bhwo",
+                             xp[:, dy:dy + 6, dx:dx + 7, :],
+                             k[dy, dx].astype(np.int32))
+    want = np.clip(np.rint(np.maximum(
+        acc.astype(np.float32) * mult + bias, 0.0)), 0, 127).astype(np.int8)
+    assert got.dtype == np.int8
+    assert np.array_equal(got, want)
+
+
+def test_quantize_conv_folding():
+    """mult/bias folding: dequantized output of the int8 layer tracks
+    the float layer within the quantization step bound."""
+    rng = np.random.RandomState(1)
+    layer = {"kernel": jnp.asarray(rng.randn(1, 1, 16, 4), jnp.float32),
+             "bias": jnp.asarray(rng.randn(4), jnp.float32)}
+    s_in, s_out = 0.05, 0.02
+    q = _quantize_conv(layer, s_in, s_out)
+    assert np.asarray(q["kernel"]).dtype == np.int8
+    # per-channel weight scale: int8 kernel * s_w ~ float kernel
+    w = np.asarray(layer["kernel"])
+    s_w = np.abs(w).max(axis=(0, 1, 2)) / 127.0
+    assert np.abs(np.asarray(q["kernel"]) * s_w - w).max() <= \
+        s_w.max() / 2 + 1e-7
+    # folded multiplier = s_in * s_w / s_out
+    assert np.allclose(np.asarray(q["mult"]), s_in * s_w / s_out,
+                       rtol=1e-6)
+    assert np.allclose(np.asarray(q["bias"]),
+                       np.asarray(layer["bias"]) / s_out, rtol=1e-6)
+
+
+@pytest.mark.parametrize("net", ["squeezeDet", "squeezeDet+", "vgg16"])
+def test_quant_predictions_track_float(net):
+    cfg = tiny_test_config(net=net, image_width=96, image_height=64)
+    det = get_model(net, cfg)
+    params, _, _ = det.init(jax.random.key(0))
+    rng = np.random.RandomState(0)
+    u8 = rng.randint(0, 255, (2, cfg.image_height, cfg.image_width, 3),
+                     np.uint8)
+    qp = det.quantize(params, [u8])
+    fi = jax.jit(det.predict_raw)(params, jnp.asarray(u8))
+    qi = jax.jit(det.predict_quant)(qp, jnp.asarray(u8))
+    a = np.asarray(fi.det_boxes, np.float32)
+    b = np.asarray(qi.det_boxes, np.float32)
+    assert np.corrcoef(a.ravel(), b.ravel())[0, 1] > 0.999
+    probs_d = np.abs(np.asarray(fi.det_probs, np.float32)
+                     - np.asarray(qi.det_probs, np.float32)).max()
+    assert probs_d < 0.02, probs_d
+
+
+def test_normalized_entry_matches_u8_entry():
+    cfg = tiny_test_config(image_width=96, image_height=64)
+    det = get_model("squeezeDet", cfg)
+    params, _, _ = det.init(jax.random.key(0))
+    rng = np.random.RandomState(0)
+    u8 = rng.randint(0, 255, (2, cfg.image_height, cfg.image_width, 3),
+                     np.uint8)
+    qp = det.quantize(params, [u8])
+    qi = jax.jit(det.predict_quant)(qp, jnp.asarray(u8))
+    f = u8.astype(np.float32) - cfg.bgr_means_array()
+    qn = jax.jit(det.predict_quant_normalized)(qp, jnp.asarray(f))
+    assert np.array_equal(np.asarray(qi.det_boxes),
+                          np.asarray(qn.det_boxes))
+
+
+def test_partial_boundary_start():
+    """start='fire4': fire2/3 stay float, the boundary squeeze carries
+    in_scale, and predictions still track the float model."""
+    cfg = tiny_test_config(image_width=96, image_height=64)
+    det = get_model("squeezeDet", cfg)
+    params, _, _ = det.init(jax.random.key(0))
+    rng = np.random.RandomState(0)
+    u8 = rng.randint(0, 255, (2, cfg.image_height, cfg.image_width, 3),
+                     np.uint8)
+    scales = calibrate(det, params, [u8])
+    qp = quantize_detector(det, params, scales, start="fire4")
+    assert INPUT_SCALE_KEY not in qp
+    assert "mult" not in qp["conv1"]
+    assert "mult" not in qp["fire2"]["squeeze1x1"]
+    assert "mult" in qp["fire4"]["squeeze1x1"]
+    assert "in_scale" in qp["fire4"]["squeeze1x1"]
+    assert "in_scale" not in qp["fire5"]["squeeze1x1"]
+    fi = jax.jit(det.predict_raw)(params, jnp.asarray(u8))
+    qi = jax.jit(det.predict_quant)(qp, jnp.asarray(u8))
+    a = np.asarray(fi.det_boxes, np.float32)
+    b = np.asarray(qi.det_boxes, np.float32)
+    assert np.corrcoef(a.ravel(), b.ravel())[0, 1] > 0.999
+
+
+def test_whole_net_mode_marks_input_scale():
+    cfg = tiny_test_config(image_width=96, image_height=64)
+    det = get_model("squeezeDet", cfg)
+    params, _, _ = det.init(jax.random.key(0))
+    rng = np.random.RandomState(0)
+    u8 = rng.randint(0, 255, (1, cfg.image_height, cfg.image_width, 3),
+                     np.uint8)
+    qp = det.quantize(params, [u8], start="conv1")
+    assert INPUT_SCALE_KEY in qp
+    assert "mult" in qp["conv1"]
+
+
+def test_resnet50_not_supported():
+    cfg = tiny_test_config(net="resnet50", image_width=96,
+                           image_height=64)
+    det = get_model("resnet50", cfg)
+    params, _, _ = det.init(jax.random.key(0))
+    with pytest.raises(ValueError, match="resnet50"):
+        det.quantize(params, [np.zeros((1, 64, 96, 3), np.uint8)])

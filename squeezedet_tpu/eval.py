@@ -56,8 +56,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument('--quantize', default='', choices=['', 'int8'],
                    help='Post-training int8 quantization: calibrate on '
                         'the first --calib_batches eval batches, then '
-                        'run the whole backbone on the MXU int8 path '
-                        '(quant.py; squeezeDet/squeezeDet+/vgg16).')
+                        'run the backbone on the MXU int8 path '
+                        '(quant.py; all four nets).')
     p.add_argument('--calib_batches', type=int, default=4,
                    help='Calibration batches for --quantize.')
     return p

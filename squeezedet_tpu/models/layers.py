@@ -311,6 +311,15 @@ def is_quantized(params: Params) -> bool:
     return "mult" in params
 
 
+def quantize_activation(x, scale):
+    """Float activation -> int8 at ``scale`` (symmetric, round-to-
+    nearest): the generic float->int8 boundary op of the PTQ path
+    (quant.py) — also used by resnet50's residual joins, which run in
+    f32 and re-quantize the merged block output."""
+    y = x.astype(jnp.float32) * (1.0 / scale)
+    return jnp.clip(jnp.round(y), -128, 127).astype(jnp.int8)
+
+
 def _quant_boundary(params: Params, x):
     """Quantize a float activation entering a quantized conv.
 
@@ -322,8 +331,7 @@ def _quant_boundary(params: Params, x):
     """
     if x.dtype == jnp.int8:
         return x
-    y = x.astype(jnp.float32) * (1.0 / params["in_scale"])
-    return jnp.clip(jnp.round(y), -128, 127).astype(jnp.int8)
+    return quantize_activation(x, params["in_scale"])
 
 
 def conv2d(params: Params, x, stride: int, padding: str = "SAME",
@@ -440,6 +448,14 @@ def init_conv_bn(key, tracer: NetTracer, name: str, filters: int, size: int,
 
 def conv_bn(params: Params, x, stride: int, *, padding: str = "SAME",
             relu: bool = True, eps: float = 1e-5):
+    if is_quantized(params):
+        # BN was folded into the int8 kernel + epilogue at quantize
+        # time (quant._fold_bn); relu=False taps (branch2c/branch1)
+        # dequantize to f32 for the residual join.
+        return _quant_epilogue(
+            _conv_op_int8(_quant_boundary(params, x), params["kernel"],
+                          stride, padding),
+            params, relu)
     kernel = params["kernel"].astype(x.dtype)
     y = jax.lax.conv_general_dilated(
         x, kernel,

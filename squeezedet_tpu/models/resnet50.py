@@ -49,10 +49,13 @@ def _init_branch(key, tracer, stage: str, block: str, in_f: int, out_f: int,
     return p, m
 
 
-def _apply_branch(p, x, down_sample: bool, eps: float):
+def _apply_branch(p, x, down_sample: bool, eps: float, tape=None,
+                  name: str = ""):
     stride = 2 if down_sample else 1
     y = L.conv_bn(p["branch2a"], x, stride, eps=eps)
+    L.record(tape, name + "_branch2a", y)
     y = L.conv_bn(p["branch2b"], y, 1, eps=eps)
+    L.record(tape, name + "_branch2b", y)
     return L.conv_bn(p["branch2c"], y, 1, relu=False, eps=eps)
 
 
@@ -117,8 +120,17 @@ def apply(params, images, cfg, *, train: bool = False, rng=None,
             else:
                 down = False
                 shortcut = x
-            x = jnp.maximum(shortcut + _apply_branch(p["branch2"], x, down,
-                                                     eps), 0)
+                if "shortcut_scale" in p:
+                    # int8 mode: the identity shortcut is int8; the
+                    # residual join runs in f32 (quant.py)
+                    shortcut = shortcut.astype(jnp.float32) * \
+                        p["shortcut_scale"]
+            x = jnp.maximum(shortcut + _apply_branch(
+                p["branch2"], x, down, eps, tape=tape, name="res" +
+                stage + block), 0)
+            if "out_scale" in p:
+                # int8 mode: re-quantize the merged block output
+                x = L.quantize_activation(x, p["out_scale"])
             L.record(tape, name, x)
 
     x = L.dropout(x, cfg.keep_prob, rng, train)

@@ -35,8 +35,9 @@ and ``conv2d_pair`` detect the quantized form and take the int8 path,
 so the *same* ``backbone.apply`` executes both precisions.
 
 Supported nets: squeezeDet, squeezeDet+ (fire chains), vgg16 (conv
-chain).  resnet50's residual joins need cross-branch scale alignment
-and are not quantized yet (``quantize_detector`` raises).
+chain), resnet50 (frozen-stats BN folded into the int8 convs; the
+residual joins run in f32 and re-quantize at the block's calibrated
+scale — :func:`_quantize_resnet`).
 """
 
 from __future__ import annotations
@@ -229,14 +230,90 @@ def _quantize_conv_chain(mod, params, scales: Scales, s_input: float,
     return q
 
 
+def _fold_bn(layer: dict, eps: float) -> dict:
+    """Fold frozen-stats BatchNorm into conv weights+bias (the standard
+    inference-time identity): ``y = conv(x, W)*inv + (beta - mean*inv)``
+    with ``inv = gamma/sqrt(var+eps)`` becomes a plain conv with
+    ``W' = W*inv[o]`` and ``b' = bias*inv + beta - mean*inv``."""
+    inv = np.asarray(layer["gamma"], np.float64) / np.sqrt(
+        np.asarray(layer["var"], np.float64) + eps)
+    w = np.asarray(layer["kernel"], np.float64) * inv
+    b = np.asarray(layer["beta"], np.float64) - \
+        np.asarray(layer["mean"], np.float64) * inv
+    if "bias" in layer:
+        b = b + np.asarray(layer["bias"], np.float64) * inv
+    return {"kernel": jnp.asarray(w, jnp.float32),
+            "bias": jnp.asarray(b, jnp.float32)}
+
+
+def _quantize_resnet(mod, params, scales: Scales, start: str,
+                     eps: float) -> dict:
+    """resnet50 walk: conv1 stays float (conv_bn at full resolution);
+    quantization starts at block ``start`` (e.g. 'res2a').  Inside a
+    quantized block, branch2a/b re-quantize to int8, branch2c and the
+    block-'a' projection shortcut dequantize to f32, the residual join
+    runs in f32 (exactly the float graph's add+relu), and the merged
+    output re-quantizes at the block's calibrated scale
+    (``out_scale``, applied in resnet50.apply)."""
+    q = {"conv1": dict(params["conv1"]),
+         "conv5": None}  # filled below
+    quantizing = False
+    s_prev = _act_scale(scales, "conv1")
+    boundary = {}
+    for stage, blocks, _, _, _ in mod._STAGES:
+        for block in blocks:
+            name = "res{}{}".format(stage, block)
+            if name == start:
+                quantizing = True
+                boundary = {"in_scale": np.float32(s_prev)}
+            if not quantizing:
+                q[name] = {k: (dict(v) if k == "branch1" else
+                               {s: dict(c) for s, c in v.items()})
+                           for k, v in params[name].items()}
+                s_prev = _act_scale(scales, name)
+                continue
+            p = params[name]
+            entry = {}
+            if "branch1" in p:
+                entry["branch1"] = dict(
+                    _quantize_conv(_fold_bn(p["branch1"], eps),
+                                   s_prev, None), **boundary)
+            elif not boundary:
+                # identity shortcut over an int8 input: apply
+                # dequantizes it with the producer's scale before the
+                # f32 join (a float boundary input needs no scale)
+                entry["shortcut_scale"] = np.float32(s_prev)
+            s_2a = _act_scale(scales, name + "_branch2a")
+            s_2b = _act_scale(scales, name + "_branch2b")
+            entry["branch2"] = {
+                "branch2a": dict(
+                    _quantize_conv(_fold_bn(p["branch2"]["branch2a"],
+                                            eps), s_prev, s_2a),
+                    **boundary),
+                "branch2b": _quantize_conv(
+                    _fold_bn(p["branch2"]["branch2b"], eps), s_2a, s_2b),
+                "branch2c": _quantize_conv(
+                    _fold_bn(p["branch2"]["branch2c"], eps), s_2b, None),
+            }
+            s_prev = _act_scale(scales, name)
+            entry["out_scale"] = np.float32(s_prev)
+            q[name] = entry
+            boundary = {}
+    assert quantizing, "start layer {!r} not in the chain".format(start)
+    q["conv5"] = _quantize_conv(params["conv5"], s_prev, None)
+    return q
+
+
 #: default quantization boundary per net.  Whole-net int8 measured
 #: fastest among the int8 variants (fire-boundary hybrids pay the
 #: float->int8 re-quantize pass without saving enough VPU work); note
 #: the tuned bf16 program still wins overall on v5e — s8 sublane
 #: packing taxes every non-MXU op at the high-resolution early stages
-#: (PARITY.md round-3 int8 section has the sweep).
+#: (PARITY.md int8 study has the sweep).  resnet50's conv1 (a conv_bn
+#: over the raw image) always stays float; its blocks quantize from
+#: res2a.
 DEFAULT_START = {"squeezeDet": "conv1", "squeezeDet+": "conv1",
-                 "vgg16": "conv1_1"}
+                 "vgg16": "conv1_1", "resnet50": "res2a"}
 
 
 def quantize_detector(det, params, scales: Scales,
@@ -265,9 +342,8 @@ def quantize_detector(det, params, scales: Scales,
         q = _quantize_conv_chain(vgg16, params, scales, s_input,
                                  head="conv6", start=start)
     elif det.backbone is resnet50:
-        raise ValueError(
-            "int8 PTQ for resnet50 is not supported: the residual "
-            "joins need cross-branch scale alignment (use bf16)")
+        q = _quantize_resnet(resnet50, params, scales, start=start,
+                             eps=det.cfg.batch_norm_epsilon)
     else:
         raise ValueError("unknown backbone for quantization")
     if start in ("conv1", "conv1_1"):

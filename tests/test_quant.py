@@ -81,7 +81,8 @@ def test_quantize_conv_folding():
                        np.asarray(layer["bias"]) / s_out, rtol=1e-6)
 
 
-@pytest.mark.parametrize("net", ["squeezeDet", "squeezeDet+", "vgg16"])
+@pytest.mark.parametrize("net", ["squeezeDet", "squeezeDet+", "vgg16",
+                                 "resnet50"])
 def test_quant_predictions_track_float(net):
     cfg = tiny_test_config(net=net, image_width=96, image_height=64)
     det = get_model(net, cfg)
@@ -151,10 +152,36 @@ def test_whole_net_mode_marks_input_scale():
     assert "mult" in qp["conv1"]
 
 
-def test_resnet50_not_supported():
+def test_resnet50_block_structure():
+    """resnet50 quantized tree: conv1 float, BN folded away inside the
+    int8 blocks, f32 residual joins re-quantized via out_scale, and a
+    mid-chain start leaves earlier blocks float."""
     cfg = tiny_test_config(net="resnet50", image_width=96,
                            image_height=64)
     det = get_model("resnet50", cfg)
     params, _, _ = det.init(jax.random.key(0))
-    with pytest.raises(ValueError, match="resnet50"):
-        det.quantize(params, [np.zeros((1, 64, 96, 3), np.uint8)])
+    rng = np.random.RandomState(0)
+    u8 = rng.randint(0, 255, (2, cfg.image_height, cfg.image_width, 3),
+                     np.uint8)
+    qp = det.quantize(params, [u8])
+    assert "mult" not in qp["conv1"]
+    blk = qp["res2a"]
+    assert "mult" in blk["branch2"]["branch2a"]
+    assert "gamma" not in blk["branch2"]["branch2a"]  # BN folded
+    assert "in_scale" in blk["branch2"]["branch2a"]   # float boundary
+    assert "in_scale" in blk["branch1"]
+    assert "out_scale" in blk and "shortcut_scale" not in blk
+    assert "shortcut_scale" in qp["res2b"]            # identity join
+    assert "mult" in qp["conv5"]
+
+    # mid-chain start: res2/res3 stay float
+    from squeezedet_tpu.quant import calibrate, quantize_detector
+    scales = calibrate(det, params, [u8])
+    qp3 = quantize_detector(det, params, scales, start="res4a")
+    assert "mult" not in qp3["res3d"]["branch2"]["branch2a"]
+    assert "in_scale" in qp3["res4a"]["branch2"]["branch2a"]
+    fi = jax.jit(det.predict_raw)(params, jnp.asarray(u8))
+    qi = jax.jit(det.predict_quant)(qp3, jnp.asarray(u8))
+    a = np.asarray(fi.det_boxes, np.float32)
+    b = np.asarray(qi.det_boxes, np.float32)
+    assert np.corrcoef(a.ravel(), b.ravel())[0, 1] > 0.999

@@ -125,11 +125,15 @@ def detect_all(det, imdb, params, batch_size: int, quant: bool = False):
 
         def predict(p, images):
             return predict_jit(p, shard_batch(mesh, images))
-    elif len(jax.devices()) > 1:
+    elif len(jax.devices()) > 1 and not quant:
         # batch-1 — the reference protocol (eval.py:150-166): instead of
         # idling all but one chip, shard the image height over every
         # device (spatial partitioning; XLA inserts the conv halo
         # exchanges, tests/test_spatial.py pins the numerics).
+        # Not for int8: XLA's SPMD partitioner mis-types the padding
+        # broadcast of a spatially-sharded s8 conv (hlo_verifier
+        # RET_CHECK SameElementType), so quantized batch-1 eval runs
+        # single-device; the batch-sharded DP branch above is fine.
         from squeezedet_tpu.parallel.mesh import (image_sharding,
                                                   make_mesh_2d,
                                                   replicated_sharding)

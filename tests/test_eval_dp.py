@@ -43,3 +43,33 @@ def test_detect_all_mesh_matches_single_device(kitti_root):
             assert a.shape == b.shape, (c, i)
             if a.size:
                 np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-3)
+
+
+def test_detect_all_quant_mesh_matches_single_device(kitti_root):
+    """int8 eval over the 8-device mesh (the pod-host --quantize path)
+    must reproduce the single-device int8 scan."""
+    from squeezedet_tpu.eval import quantize_on_split
+
+    cfg1 = tiny_test_config(image_width=320, image_height=96,
+                            batch_size=1)
+    det1 = get_model("squeezeDet", cfg1)
+    params, _, _ = det1.init(jax.random.key(0))
+    db1 = Kitti("val", kitti_root, cfg1)
+    qp = quantize_on_split(det1, db1, params, calib_batches=2)
+    ref_boxes, ref_n, _ = detect_all(det1, db1, qp, batch_size=1,
+                                     quant=True)
+
+    cfg8 = cfg1.replace(batch_size=8)
+    det8 = get_model("squeezeDet", cfg8)
+    db8 = Kitti("val", kitti_root, cfg8)
+    dp_boxes, dp_n, _ = detect_all(det8, db8, qp, batch_size=8,
+                                   quant=True)
+
+    assert dp_n == ref_n
+    for c in range(db1.num_classes):
+        for i in range(len(db1.image_idx)):
+            a = np.asarray(sorted(map(tuple, ref_boxes[c][i])))
+            b = np.asarray(sorted(map(tuple, dp_boxes[c][i])))
+            assert a.shape == b.shape, (c, i)
+            if a.size:
+                np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-3)

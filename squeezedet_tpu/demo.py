@@ -35,6 +35,13 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument('--out_dir', default='./data/out/')
     p.add_argument('--demo_net', default='squeezeDet')
     p.add_argument('--compute_dtype', default='')
+    p.add_argument('--quantize', default='', choices=['', 'int8'],
+                   help='Run the int8 PTQ program (quant.py), '
+                        'calibrated on --calib_images (default: the '
+                        'demo inputs themselves in image mode).')
+    p.add_argument('--calib_images', default='',
+                   help='Image file/dir/glob for --quantize '
+                        'calibration; required in video mode.')
     p.add_argument('--compilation_cache', default='',
                    help='Persistent XLA compilation cache dir.')
     return p
@@ -97,9 +104,29 @@ def _detect_and_draw(det, predict, params, frame, im_input, mc):
     return boxes, probs, classes
 
 
+def _maybe_quantize(args, det, params, default_calib: str = ''):
+    """--quantize int8: PTQ via quant.py, calibrated on --calib_images
+    (or ``default_calib``).  Returns (params, base predict fn) — the
+    quantized twin takes the same normalized float images."""
+    import jax
+
+    if not args.quantize:
+        return params, jax.jit(det.predict)
+    assert args.quantize == 'int8', args.quantize
+    calib_src = args.calib_images or default_calib
+    assert calib_src, '--quantize needs --calib_images'
+    from squeezedet_tpu.quant import calib_batch_from_images
+    cfg = det.cfg
+    calib = calib_batch_from_images(calib_src, cfg.image_width,
+                                    cfg.image_height)
+    print('Quantizing (int8 PTQ, {} calibration frames)...'.format(
+        len(calib)))
+    qparams = det.quantize(params, [calib])
+    return qparams, jax.jit(det.predict_quant_normalized)
+
+
 def image_demo(args):
     import cv2
-    import jax
 
     from squeezedet_tpu.config import config_for_net
     from squeezedet_tpu.models import get_model
@@ -113,7 +140,8 @@ def image_demo(args):
         cfg = cfg.replace(compute_dtype=args.compute_dtype)
     det = get_model(args.demo_net, cfg)
     params = load_params(det, args.checkpoint)
-    predict = jax.jit(det.predict)
+    params, predict = _maybe_quantize(args, det, params,
+                                      default_calib=args.input_path)
 
     for f in glob.iglob(args.input_path):
         im = cv2.imread(f).astype(np.float32)
@@ -146,7 +174,7 @@ def video_demo(args):
         cfg = cfg.replace(compute_dtype=args.compute_dtype)
     det = get_model(args.demo_net, cfg)
     params = load_params(det, args.checkpoint)
-    predict = jax.jit(det.predict)
+    params, predict = _maybe_quantize(args, det, params)
 
     cap = cv2.VideoCapture(args.input_path)
     count = 0

@@ -361,9 +361,10 @@ def quantize(det, params, batches_u8: Iterable,
 
 def calib_batch_from_images(path: str, width: int, height: int,
                             limit: int = 8) -> np.ndarray:
-    """Load calibration frames for the serve/export CLIs: ``path`` is
-    an image file or a directory of images; returns one uint8 BGR batch
-    resized to the model resolution (up to ``limit`` frames)."""
+    """Load calibration frames for the serve/export/demo CLIs: ``path``
+    is an image file, a directory of images, or a glob pattern; returns
+    one uint8 BGR batch resized to the model resolution (up to
+    ``limit`` frames)."""
     import glob
     import os
 
@@ -373,6 +374,8 @@ def calib_batch_from_images(path: str, width: int, height: int,
         files = sorted(
             f for f in glob.glob(os.path.join(path, "*"))
             if f.lower().endswith((".png", ".jpg", ".jpeg", ".bmp")))
+    elif not os.path.isfile(path):
+        files = sorted(glob.glob(path))
     else:
         files = [path]
     frames = []

@@ -295,10 +295,34 @@ def bench_train(batch_size: int = 64, iters: int = 10,
     }
 
 
+def probe_backend(timeout_s: int) -> bool:
+    """Bounded TPU-attach check in a subprocess.
+
+    The axon tunnel can wedge (CLAUDE.md), and a wedged tunnel hangs
+    ``jax.devices()`` forever inside the PJRT client — uninterruptible
+    from Python threads.  Probing in a subprocess bounds the damage:
+    the benchmark either runs normally or reports an explicit error
+    line instead of hanging the driver.
+    """
+    import subprocess
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; jax.devices(); print('ok')"],
+            timeout=timeout_s, capture_output=True)
+        return r.returncode == 0 and b"ok" in r.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", default="inference",
                     choices=["inference", "train", "stream"])
+    ap.add_argument("--init_probe_timeout", type=int, default=900,
+                    help="Seconds to wait for TPU backend attach before "
+                         "reporting an error instead of hanging "
+                         "(0 disables the probe).")
     ap.add_argument("--native_loader", action="store_true",
                     help="stream mode: decode synthetic PNGs through "
                          "the C++ loader each iteration (reference "
@@ -310,6 +334,15 @@ def main():
     ap.add_argument("--no_postprocess", action="store_true")
     ap.add_argument("--f32_input", action="store_true")
     args = ap.parse_args()
+    if args.init_probe_timeout and not probe_backend(
+            args.init_probe_timeout):
+        print(json.dumps({
+            "metric": "images_per_sec_per_chip", "value": 0,
+            "unit": "img/s", "vs_baseline": 0.0,
+            "error": "TPU backend attach timed out after {}s (tunnel "
+                     "unreachable); benchmark not run".format(
+                         args.init_probe_timeout)}))
+        return 1
     if args.mode == "train":
         result = bench_train(batch_size=args.batch_size,
                              net=args.net, compute_dtype=args.dtype)

@@ -65,9 +65,8 @@ def bench(batch_size: int = 128, iters: int = 30, warmup: int = 5,
     if quant:
         # int8 PTQ serving path (quant.py): calibrate on one batch of
         # the benchmark distribution, then run the full uint8 ->
-        # detections program on the MXU int8 path
-        assert uint8_input and postprocess, \
-            "--dtype int8 implies the uint8 postprocessed program"
+        # detections program on the MXU int8 path (main() rejects any
+        # other flag combination before reaching here)
         params = det.quantize(params, [np.asarray(make_inputs(batch_size))])
         fn = jax.jit(det.predict_quant_postprocessed)
     elif uint8_input and postprocess:
@@ -295,24 +294,36 @@ def bench_train(batch_size: int = 64, iters: int = 10,
     }
 
 
-def probe_backend(timeout_s: int) -> bool:
-    """Bounded TPU-attach check in a subprocess.
+def _error_line(msg: str) -> str:
+    return json.dumps({
+        "metric": "images_per_sec_per_chip", "value": 0,
+        "unit": "img/s", "vs_baseline": 0.0, "error": msg})
+
+
+def attach_or_die(timeout_s: int) -> None:
+    """Attach the TPU backend under a watchdog.
 
     The axon tunnel can wedge (CLAUDE.md), and a wedged tunnel hangs
     ``jax.devices()`` forever inside the PJRT client — uninterruptible
-    from Python threads.  Probing in a subprocess bounds the damage:
-    the benchmark either runs normally or reports an explicit error
-    line instead of hanging the driver.
+    from Python.  A watchdog thread turns that into an explicit JSON
+    error line + hard exit, so the driver records a diagnosis instead
+    of hanging; the healthy path pays exactly one attach.
     """
-    import subprocess
-    try:
-        r = subprocess.run(
-            [sys.executable, "-c",
-             "import jax; jax.devices(); print('ok')"],
-            timeout=timeout_s, capture_output=True)
-        return r.returncode == 0 and b"ok" in r.stdout
-    except subprocess.TimeoutExpired:
-        return False
+    import os
+    import threading
+    done = threading.Event()
+
+    def watch():
+        if not done.wait(timeout_s):
+            print(_error_line(
+                "TPU backend attach exceeded {}s (tunnel unreachable); "
+                "benchmark not run".format(timeout_s)), flush=True)
+            os._exit(1)
+
+    threading.Thread(target=watch, daemon=True).start()
+    import jax
+    jax.devices()
+    done.set()
 
 
 def main():
@@ -334,15 +345,18 @@ def main():
     ap.add_argument("--no_postprocess", action="store_true")
     ap.add_argument("--f32_input", action="store_true")
     args = ap.parse_args()
-    if args.init_probe_timeout and not probe_backend(
-            args.init_probe_timeout):
-        print(json.dumps({
-            "metric": "images_per_sec_per_chip", "value": 0,
-            "unit": "img/s", "vs_baseline": 0.0,
-            "error": "TPU backend attach timed out after {}s (tunnel "
-                     "unreachable); benchmark not run".format(
-                         args.init_probe_timeout)}))
+    if args.dtype == "int8" and (args.mode != "inference"
+                                 or args.no_postprocess
+                                 or args.f32_input):
+        # int8 exists only as the full uint8->detections PTQ program;
+        # report the misuse as the contractual one-JSON-line, never a
+        # traceback (and never a silently-wrong integer-dtype model)
+        print(_error_line(
+            "--dtype int8 requires --mode inference with the uint8 "
+            "postprocessed program (no --no_postprocess/--f32_input)"))
         return 1
+    if args.init_probe_timeout:
+        attach_or_die(args.init_probe_timeout)
     if args.mode == "train":
         result = bench_train(batch_size=args.batch_size,
                              net=args.net, compute_dtype=args.dtype)

@@ -276,11 +276,13 @@ class Detector:
         quantized tree itself records the mode — quant.py).
         """
         from squeezedet_tpu.data.device_pipeline import normalize_images
-        from squeezedet_tpu.quant import (INPUT_SCALE_KEY, input_scale,
-                                          quantize_images)
+        from squeezedet_tpu.quant import INPUT_SCALE_KEY, quantize_images
         if INPUT_SCALE_KEY in qparams:
+            # the scale stored at quantize time — conv1's multipliers
+            # baked exactly this value, so never re-derive it from a
+            # (possibly different) config
             x = quantize_images(images_u8, self.cfg.bgr_means,
-                                input_scale(self.cfg.bgr_means))
+                                qparams[INPUT_SCALE_KEY])
         else:
             x = normalize_images(images_u8, self.cfg.bgr_means,
                                  jnp.dtype(self.cfg.compute_dtype))
@@ -296,11 +298,11 @@ class Detector:
     def predict_quant_normalized(self, qparams, images) -> Interpretation:
         """int8 twin of :meth:`predict` for already-normalized float
         images (the eval/host pipeline's format)."""
-        from squeezedet_tpu.quant import (INPUT_SCALE_KEY, input_scale,
+        from squeezedet_tpu.quant import (INPUT_SCALE_KEY,
                                           quantize_images_normalized)
         if INPUT_SCALE_KEY in qparams:
-            x = quantize_images_normalized(
-                images, input_scale(self.cfg.bgr_means))
+            x = quantize_images_normalized(images,
+                                           qparams[INPUT_SCALE_KEY])
         else:
             x = images.astype(jnp.dtype(self.cfg.compute_dtype))
         preds = self.backbone.apply(qparams, x, self.cfg, train=False)

@@ -62,7 +62,7 @@ def input_scale(bgr_means) -> float:
     return float(max(m.max(), 255.0 - m.min()) / 127.0)
 
 
-def quantize_images(images_u8, bgr_means, scale: float):
+def quantize_images(images_u8, bgr_means, scale):
     """uint8 BGR [B, H, W, 3] -> int8 in the model's input domain.
 
     The device-side twin of ``normalize_images`` (imdb.py:143-144) for
@@ -71,15 +71,18 @@ def quantize_images(images_u8, bgr_means, scale: float):
     levels).
     """
     means = jnp.asarray(bgr_means, jnp.float32).reshape(1, 1, 1, 3)
-    x = (images_u8.astype(jnp.float32) - means) * (1.0 / scale)
-    return jnp.clip(jnp.round(x), -128, 127).astype(jnp.int8)
+    return quantize_images_normalized(
+        images_u8.astype(jnp.float32) - means, scale)
 
 
-def quantize_images_normalized(images_f, scale: float):
+def quantize_images_normalized(images_f, scale):
     """Already-normalized float images (``x - bgr_mean``, the eval/host
-    pipeline's format, imdb.read_image_batch) -> int8 input domain."""
-    x = images_f.astype(jnp.float32) * (1.0 / scale)
-    return jnp.clip(jnp.round(x), -128, 127).astype(jnp.int8)
+    pipeline's format, imdb.read_image_batch) -> int8 input domain.
+    One formula shared with every activation boundary
+    (layers.quantize_activation) so input and activation quantization
+    can never diverge."""
+    from squeezedet_tpu.models.layers import quantize_activation
+    return quantize_activation(images_f, scale)
 
 
 def calibrate_normalized(det, params, batches_f: Iterable) -> Scales:
@@ -214,7 +217,9 @@ def _quantize_conv_chain(mod, params, scales: Scales, s_input: float,
     for name, _, _ in mod._CONVS:
         if name == start:
             quantizing = True
-            boundary = {} if s_prev is s_input else \
+            # from the very first conv, the input itself arrives int8
+            # (quantize_images) — no float boundary to re-quantize
+            boundary = {} if name == mod._CONVS[0][0] else \
                 {"in_scale": np.float32(s_prev)}
         if not quantizing:
             q[name] = dict(params[name])

@@ -191,6 +191,12 @@ def main(argv=None):
 
     args = build_arg_parser().parse_args(argv)
     if args.artifact:
+        if args.quantize:
+            raise SystemExit(
+                "--quantize does not apply to --artifact (an artifact "
+                "bakes its program in at export time — use "
+                "squeezedet-export --quantize int8 to build an int8 "
+                "artifact)")
         run, meta = _build_from_artifact(args.artifact)
     else:
         run, meta = _build_from_checkpoint(args)

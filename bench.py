@@ -66,9 +66,12 @@ def bench(batch_size: int = 128, iters: int = 30, warmup: int = 5,
         # int8 PTQ serving path (quant.py): calibrate on one batch of
         # the benchmark distribution, then run the full uint8 ->
         # detections program on the MXU int8 path (main() rejects any
-        # other flag combination before reaching here)
+        # other flag combination before reaching here); entry layout
+        # negotiated like the bf16 serving path
+        from squeezedet_tpu.serving import negotiated_inference_fn
         params = det.quantize(params, [np.asarray(make_inputs(batch_size))])
-        fn = jax.jit(det.predict_quant_postprocessed)
+        fn, input_format = negotiated_inference_fn(
+            det, batch_size, params, fn=det.predict_quant_postprocessed)
     elif uint8_input and postprocess:
         # serving path: XLA-negotiated entry layout removes the
         # relayout copy after the uint8 normalize fusion (the DMA

@@ -259,13 +259,16 @@ class Detector:
         return self.postprocess_device(self.predict_raw(params, images_u8))
 
     # -- int8 serving (quant.py) ---------------------------------------------
-    def quantize(self, params, calib_batches_u8, start=""):
+    def quantize(self, params, calib_batches_u8, start="",
+                 percentile=None):
         """Post-training int8 quantization: calibrate activation ranges
         on uint8 batches, return the int8 parameter tree (quant.py).
         ``start`` names the first quantized layer (default: the
-        measured-best boundary for this net)."""
+        measured-best boundary for this net); ``percentile`` switches
+        calibration from abs-max to a saturating percentile clip."""
         from squeezedet_tpu.quant import quantize
-        return quantize(self, params, calib_batches_u8, start=start)
+        return quantize(self, params, calib_batches_u8, start=start,
+                        percentile=percentile)
 
     def predict_quant(self, qparams, images_u8) -> Interpretation:
         """int8 serving path: uint8 BGR images -> Interpretation.

@@ -85,29 +85,39 @@ def quantize_images_normalized(images_f, scale):
     return quantize_activation(images_f, scale)
 
 
-def calibrate_normalized(det, params, batches_f: Iterable) -> Scales:
-    """Collect per-layer activation abs-maxes from the float model,
-    fed already-normalized float batches (``x - bgr_mean``).
+def calibrate_normalized(det, params, batches_f: Iterable,
+                         percentile: Optional[float] = None) -> Scales:
+    """Collect per-layer activation ranges from the float model, fed
+    already-normalized float batches (``x - bgr_mean``).
 
     Runs the float forward with the activation tape (the same
     instrumentation the five-stat summaries use) and reduces each
-    layer's |activation| max on device, keeping only the running scalar
-    maxes on host.
+    layer's |activation| on device, keeping only running scalars on
+    host.  Default reduction is abs-max (safe for ReLU nets);
+    ``percentile`` (e.g. 99.99) instead takes that per-batch
+    |activation| percentile — the standard PTQ knob when rare outliers
+    would stretch a tensor's scale and crush its resolution — still
+    max-combined across batches.
     """
     cfg = det.cfg
 
     @jax.jit
-    def batch_maxes(p, x):
+    def batch_stats(p, x):
         tape = {}
         det.backbone.apply(p, x.astype(jnp.dtype(cfg.compute_dtype)),
                            cfg, train=False, tape=tape)
-        return {k: jnp.max(jnp.abs(v.astype(jnp.float32)))
+        if percentile is None:
+            return {k: jnp.max(jnp.abs(v.astype(jnp.float32)))
+                    for k, v in tape.items()}
+        return {k: jnp.percentile(
+                    jnp.abs(v.astype(jnp.float32)).reshape(-1),
+                    percentile)
                 for k, v in tape.items()}
 
     out: Scales = {}
     n = 0
     for x in batches_f:
-        m = jax.device_get(batch_maxes(params, jnp.asarray(x)))
+        m = jax.device_get(batch_stats(params, jnp.asarray(x)))
         for k, v in m.items():
             out[k] = max(out.get(k, 0.0), float(v))
         n += 1
@@ -115,7 +125,8 @@ def calibrate_normalized(det, params, batches_f: Iterable) -> Scales:
     return out
 
 
-def calibrate(det, params, batches_u8: Iterable) -> Scales:
+def calibrate(det, params, batches_u8: Iterable,
+              percentile: Optional[float] = None) -> Scales:
     """:func:`calibrate_normalized` over uint8 batches (typically a few
     training batches), normalizing on device first."""
     from squeezedet_tpu.data.device_pipeline import normalize_images
@@ -125,7 +136,8 @@ def calibrate(det, params, batches_u8: Iterable) -> Scales:
         for u8 in batches_u8:
             yield normalize_images(jnp.asarray(u8), means, jnp.float32)
 
-    return calibrate_normalized(det, params, normalized())
+    return calibrate_normalized(det, params, normalized(),
+                                percentile=percentile)
 
 
 def _quantize_conv(layer: dict, s_in: float,
@@ -356,11 +368,12 @@ def quantize_detector(det, params, scales: Scales,
     return q
 
 
-def quantize(det, params, batches_u8: Iterable,
-             start: str = "") -> dict:
+def quantize(det, params, batches_u8: Iterable, start: str = "",
+             percentile: Optional[float] = None) -> dict:
     """One-call PTQ: calibrate on ``batches_u8`` then quantize."""
     return quantize_detector(det, params,
-                             calibrate(det, params, batches_u8),
+                             calibrate(det, params, batches_u8,
+                                       percentile=percentile),
                              start=start)
 
 

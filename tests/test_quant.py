@@ -185,3 +185,26 @@ def test_resnet50_block_structure():
     a = np.asarray(fi.det_boxes, np.float32)
     b = np.asarray(qi.det_boxes, np.float32)
     assert np.corrcoef(a.ravel(), b.ravel())[0, 1] > 0.999
+
+
+def test_percentile_calibration_clips_outliers():
+    """percentile calibration yields tighter scales than abs-max when a
+    single outlier inflates a layer's range, and predictions still
+    track float (the requant epilogue saturates the outliers)."""
+    cfg = tiny_test_config(image_width=96, image_height=64)
+    det = get_model("squeezeDet", cfg)
+    params, _, _ = det.init(jax.random.key(0))
+    rng = np.random.RandomState(0)
+    u8 = rng.randint(0, 255, (2, cfg.image_height, cfg.image_width, 3),
+                     np.uint8)
+    s_max = calibrate(det, params, [u8])
+    s_p = calibrate(det, params, [u8], percentile=99.0)
+    assert all(s_p[k] <= s_max[k] + 1e-6 for k in s_max)
+    assert any(s_p[k] < s_max[k] * 0.999 for k in s_max)
+
+    qp = det.quantize(params, [u8], percentile=99.9)
+    fi = jax.jit(det.predict_raw)(params, jnp.asarray(u8))
+    qi = jax.jit(det.predict_quant)(qp, jnp.asarray(u8))
+    a = np.asarray(fi.det_boxes, np.float32)
+    b = np.asarray(qi.det_boxes, np.float32)
+    assert np.corrcoef(a.ravel(), b.ravel())[0, 1] > 0.999

@@ -208,3 +208,27 @@ def test_percentile_calibration_clips_outliers():
     a = np.asarray(fi.det_boxes, np.float32)
     b = np.asarray(qi.det_boxes, np.float32)
     assert np.corrcoef(a.ravel(), b.ravel())[0, 1] > 0.999
+
+
+def test_quant_report_rows():
+    """tools/quant_report.py: per-layer scale/utilization/SNR rows are
+    produced for every taped layer and int8 SNRs are healthy."""
+    import sys
+    sys.path.insert(0, "/root/repo/tools")
+    from quant_report import report
+
+    cfg = tiny_test_config(image_width=96, image_height=64)
+    det = get_model("squeezeDet", cfg)
+    params, _, _ = det.init(jax.random.key(0))
+    rng = np.random.RandomState(0)
+    u8 = rng.randint(0, 255, (2, cfg.image_height, cfg.image_width, 3),
+                     np.uint8)
+    rows, qparams = report(det, params, u8)
+    names = {r[0] for r in rows}
+    assert "conv1" in names and "fire11/squeeze1x1" in names \
+        and "conv12" in names
+    for name, scale, util, db in rows:
+        assert scale > 0
+        assert db > 15.0, (name, db)
+        if util == util:  # int8 layer: utilization is meaningful
+            assert 0 < util <= 100.0

@@ -23,6 +23,11 @@ from squeezedet_tpu.config import (  # noqa: F401
     tiny_test_config,
 )
 from squeezedet_tpu.models import Detector, get_model  # noqa: F401
+from squeezedet_tpu.quant import (  # noqa: F401
+    calibrate,
+    quantize,
+    quantize_detector,
+)
 from squeezedet_tpu.serving import (  # noqa: F401
     export_model,
     load_exported,

@@ -31,33 +31,65 @@ def test_input_scale_never_clips():
     assert np.array_equal(q, np.clip(np.rint(x / s), -128, 127))
 
 
-def test_conv2d_int8_matches_numpy_reference():
+def _np_int8_conv(x, k, stride, padding, mult, bias, relu):
+    """Direct numpy int32-accumulation + f32-epilogue evaluation."""
+    kh, kw = k.shape[:2]
+    b, h, w, _ = x.shape
+    o = k.shape[3]
+    if padding == "SAME":
+        oh, ow = -(-h // stride), -(-w // stride)
+        ph = max((oh - 1) * stride + kh - h, 0)
+        pw = max((ow - 1) * stride + kw - w, 0)
+        xp = np.pad(x.astype(np.int32),
+                    ((0, 0), (ph // 2, ph - ph // 2),
+                     (pw // 2, pw - pw // 2), (0, 0)))
+    else:
+        oh, ow = -(-(h - kh + 1) // stride), -(-(w - kw + 1) // stride)
+        xp = x.astype(np.int32)
+    acc = np.zeros((b, oh, ow, o), np.int32)
+    for dy in range(kh):
+        for dx in range(kw):
+            win = xp[:, dy:dy + (oh - 1) * stride + 1:stride,
+                     dx:dx + (ow - 1) * stride + 1:stride, :]
+            acc += np.einsum("bhwc,co->bhwo", win,
+                             k[dy, dx].astype(np.int32))
+    y = acc.astype(np.float32) * mult + bias
+    if relu:
+        return np.clip(np.rint(np.maximum(y, 0.0)), 0, 127) \
+            .astype(np.int8)
+    return y
+
+
+@pytest.mark.parametrize("ksize,stride,padding,relu", [
+    (3, 1, "SAME", True),
+    (1, 1, "SAME", True),
+    (3, 2, "SAME", True),
+    (3, 2, "VALID", True),
+    (7, 2, "VALID", True),
+    (3, 1, "SAME", False),
+])
+def test_conv2d_int8_matches_numpy_reference(ksize, stride, padding,
+                                             relu):
     """The jitted quantized conv must agree exactly with a direct numpy
     int32-accumulation + f32-epilogue evaluation (symmetric zero-points
-    keep SAME padding exact)."""
+    keep SAME padding exact) across the geometries the backbones use."""
     rng = np.random.RandomState(0)
-    x = rng.randint(-128, 128, (2, 6, 7, 8)).astype(np.int8)
-    k = rng.randint(-127, 128, (3, 3, 8, 5)).astype(np.int8)
+    x = rng.randint(-128, 128, (2, 9, 11, 8)).astype(np.int8)
+    k = rng.randint(-127, 128, (ksize, ksize, 8, 5)).astype(np.int8)
     mult = rng.uniform(1e-4, 1e-2, 5).astype(np.float32)
     bias = rng.uniform(-1, 1, 5).astype(np.float32)
     params = {"kernel": jnp.asarray(k), "mult": jnp.asarray(mult),
               "bias": jnp.asarray(bias)}
 
     got = np.asarray(jax.jit(
-        lambda p, x: L.conv2d(p, x, 1, "SAME", relu=True))(
+        lambda p, x: L.conv2d(p, x, stride, padding, relu=relu))(
             params, jnp.asarray(x)))
-
-    xp = np.pad(x.astype(np.int32), ((0, 0), (1, 1), (1, 1), (0, 0)))
-    acc = np.zeros((2, 6, 7, 5), np.int32)
-    for dy in range(3):
-        for dx in range(3):
-            acc += np.einsum("bhwc,co->bhwo",
-                             xp[:, dy:dy + 6, dx:dx + 7, :],
-                             k[dy, dx].astype(np.int32))
-    want = np.clip(np.rint(np.maximum(
-        acc.astype(np.float32) * mult + bias, 0.0)), 0, 127).astype(np.int8)
-    assert got.dtype == np.int8
-    assert np.array_equal(got, want)
+    want = _np_int8_conv(x, k, stride, padding, mult, bias, relu)
+    assert got.dtype == want.dtype
+    if relu:
+        assert np.array_equal(got, want)
+    else:
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-5)
 
 
 def test_quantize_conv_folding():

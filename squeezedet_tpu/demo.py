@@ -42,6 +42,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument('--calib_images', default='',
                    help='Image file/dir/glob for --quantize '
                         'calibration; required in video mode.')
+    p.add_argument('--calib_percentile', type=float, default=None,
+                   help='Calibrate activation ranges at this '
+                        'percentile of |activation| instead of '
+                        'abs-max (saturating clip, e.g. 99.99).')
     p.add_argument('--compilation_cache', default='',
                    help='Persistent XLA compilation cache dir.')
     return p
@@ -121,7 +125,8 @@ def _maybe_quantize(args, det, params, default_calib: str = ''):
                                     cfg.image_height)
     print('Quantizing (int8 PTQ, {} calibration frames)...'.format(
         len(calib)))
-    qparams = det.quantize(params, [calib])
+    qparams = det.quantize(params, [calib],
+                           percentile=args.calib_percentile)
     return qparams, jax.jit(det.predict_quant_normalized)
 
 

@@ -60,10 +60,15 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         '(quant.py; all four nets).')
     p.add_argument('--calib_batches', type=int, default=4,
                    help='Calibration batches for --quantize.')
+    p.add_argument('--calib_percentile', type=float, default=None,
+                   help='Calibrate activation ranges at this '
+                        'percentile of |activation| instead of '
+                        'abs-max (saturating clip, e.g. 99.99).')
     return p
 
 
-def quantize_on_split(det, imdb, params, calib_batches: int):
+def quantize_on_split(det, imdb, params, calib_batches: int,
+                      percentile=None):
     """PTQ calibrated on the first ``calib_batches`` batches of the
     split (unshuffled, cursor restored afterwards).  Returns the int8
     parameter tree for ``detect_all(..., quant=True)``."""
@@ -77,7 +82,8 @@ def quantize_on_split(det, imdb, params, calib_batches: int):
             yield np.stack(images)
 
     qparams = quantize_detector(
-        det, params, calibrate_normalized(det, params, batches()))
+        det, params, calibrate_normalized(det, params, batches(),
+                                          percentile=percentile))
     imdb.reset_cursor()
     return qparams
 
@@ -189,13 +195,15 @@ def detect_all(det, imdb, params, batch_size: int, quant: bool = False):
 def eval_checkpoint(det, imdb, params, global_step, *, eval_dir,
                     batch_size=1, summary_writer=None,
                     skip_analysis=False, plot_pr=False,
-                    quantize='', calib_batches=4):
+                    quantize='', calib_batches=4,
+                    calib_percentile=None):
     """Score one checkpoint (reference eval_once, eval.py:48-134)."""
     if quantize:
         assert quantize == 'int8', quantize
         print('Quantizing (int8 PTQ, {} calibration batches)...'.format(
             calib_batches))
-        params = quantize_on_split(det, imdb, params, calib_batches)
+        params = quantize_on_split(det, imdb, params, calib_batches,
+                                   percentile=calib_percentile)
     all_boxes, num_detection, timers = detect_all(det, imdb, params,
                                                   batch_size,
                                                   quant=bool(quantize))
@@ -311,7 +319,8 @@ def main(argv=None):
                         skip_analysis=args.skip_analysis,
                         plot_pr=args.plot_pr,
                         quantize=args.quantize,
-                        calib_batches=args.calib_batches)
+                        calib_batches=args.calib_batches,
+                        calib_percentile=args.calib_percentile)
         if args.run_once:
             return
 

@@ -45,6 +45,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument('--calib_images', default='',
                    help='Image file or directory for --quantize '
                         'calibration (representative frames).')
+    p.add_argument('--calib_percentile', type=float, default=None,
+                   help='Calibrate activation ranges at this '
+                        'percentile of |activation| instead of '
+                        'abs-max (saturating clip, e.g. 99.99).')
     return p
 
 
@@ -83,7 +87,8 @@ def main(argv=None):
             args.calib_images, cfg.image_width, cfg.image_height)
         print("Quantizing (int8 PTQ, {} calibration frames)...".format(
             len(calib)))
-        params = det.quantize(params, [calib])
+        params = det.quantize(params, [calib],
+                              percentile=args.calib_percentile)
 
     export_model(det, params, args.out_dir, batch_size=args.batch_size,
                  uint8_input=not args.f32_input,

@@ -46,6 +46,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument('--calib_images', default='',
                    help='Image file or directory for --quantize '
                         'calibration (representative frames).')
+    p.add_argument('--calib_percentile', type=float, default=None,
+                   help='Calibrate activation ranges at this '
+                        'percentile of |activation| instead of '
+                        'abs-max (saturating clip, e.g. 99.99).')
     return p
 
 
@@ -74,7 +78,8 @@ def _build_from_checkpoint(args):
             args.calib_images, cfg.image_width, cfg.image_height)
         print("Quantizing (int8 PTQ, {} calibration frames)...".format(
             len(calib)))
-        params = det.quantize(params, [calib])
+        params = det.quantize(params, [calib],
+                              percentile=args.calib_percentile)
         quant_fn = det.predict_quant_postprocessed
     # XLA-negotiated entry layout: same program jax.jit would build,
     # minus the in-program relayout copy of the uint8 frame

@@ -24,7 +24,8 @@ import time
 def bench(batch_size: int = 128, iters: int = 30, warmup: int = 5,
           compute_dtype: str = "bfloat16", net: str = "squeezeDet",
           postprocess: bool = True, uint8_input: bool = True,
-          measure_latency: bool = True) -> dict:
+          measure_latency: bool = True, image_width: int = 0,
+          image_height: int = 0) -> dict:
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -33,7 +34,16 @@ def bench(batch_size: int = 128, iters: int = 30, warmup: int = 5,
     from squeezedet_tpu.models import get_model
 
     quant = compute_dtype == "int8"
-    cfg = config_for_net(net).replace(
+    if image_width or image_height:
+        # hermetic smoke/testing path; the driver's headline always
+        # runs the flagship geometry (defaults)
+        from squeezedet_tpu.config.kitti import custom_kitti_config
+        base = config_for_net(net)
+        cfg = custom_kitti_config(net, image_width or base.image_width,
+                                  image_height or base.image_height)
+    else:
+        cfg = config_for_net(net)
+    cfg = cfg.replace(
         load_pretrained_model=False, batch_size=batch_size,
         compute_dtype="bfloat16" if quant else compute_dtype)
     det = get_model(net, cfg)
@@ -347,6 +357,11 @@ def main():
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--no_postprocess", action="store_true")
     ap.add_argument("--f32_input", action="store_true")
+    ap.add_argument("--image_width", type=int, default=0,
+                    help="Override input width (0 = flagship default; "
+                         "testing only — the headline runs the default "
+                         "geometry).")
+    ap.add_argument("--image_height", type=int, default=0)
     args = ap.parse_args()
     if args.dtype == "int8" and (args.mode != "inference"
                                  or args.no_postprocess
@@ -372,7 +387,9 @@ def main():
         result = bench(batch_size=args.batch_size, iters=args.iters,
                        net=args.net, compute_dtype=args.dtype,
                        postprocess=not args.no_postprocess,
-                       uint8_input=not args.f32_input)
+                       uint8_input=not args.f32_input,
+                       image_width=args.image_width,
+                       image_height=args.image_height)
     print(json.dumps(result))
 
 

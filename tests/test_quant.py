@@ -245,9 +245,7 @@ def test_percentile_calibration_clips_outliers():
 def test_quant_report_rows():
     """tools/quant_report.py: per-layer scale/utilization/SNR rows are
     produced for every taped layer and int8 SNRs are healthy."""
-    import sys
-    sys.path.insert(0, "/root/repo/tools")
-    from quant_report import report
+    from squeezedet_tpu.tools.quant_report import report
 
     cfg = tiny_test_config(image_width=96, image_height=64)
     det = get_model("squeezeDet", cfg)

@@ -42,7 +42,7 @@ scale — :func:`_quantize_resnet`).
 
 from __future__ import annotations
 
-from typing import Dict, Iterable, List, Optional
+from typing import Dict, Iterable, Optional
 
 import jax
 import jax.numpy as jnp

@@ -30,19 +30,13 @@ def bench(batch_size: int = 128, iters: int = 30, warmup: int = 5,
     import jax.numpy as jnp
     import numpy as np
 
-    from squeezedet_tpu.config import config_for_net
+    from squeezedet_tpu.config.kitti import config_for_net_at
     from squeezedet_tpu.models import get_model
 
     quant = compute_dtype == "int8"
-    if image_width or image_height:
-        # hermetic smoke/testing path; the driver's headline always
-        # runs the flagship geometry (defaults)
-        from squeezedet_tpu.config.kitti import custom_kitti_config
-        base = config_for_net(net)
-        cfg = custom_kitti_config(net, image_width or base.image_width,
-                                  image_height or base.image_height)
-    else:
-        cfg = config_for_net(net)
+    # non-zero overrides are the hermetic smoke/testing path; the
+    # driver's headline always runs the flagship geometry (defaults)
+    cfg = config_for_net_at(net, image_width, image_height)
     cfg = cfg.replace(
         load_pretrained_model=False, batch_size=batch_size,
         compute_dtype="bfloat16" if quant else compute_dtype)
@@ -362,7 +356,15 @@ def main():
                          "testing only — the headline runs the default "
                          "geometry).")
     ap.add_argument("--image_height", type=int, default=0)
+    ap.add_argument("--platform", default="",
+                    help="Pin the JAX platform (e.g. cpu) via "
+                         "jax.config.update before any backend init — "
+                         "the env var is NOT reliable on this plugin "
+                         "backend (CLAUDE.md); hermetic tests use this.")
     args = ap.parse_args()
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
     if args.dtype == "int8" and (args.mode != "inference"
                                  or args.no_postprocess
                                  or args.f32_input):

@@ -109,10 +109,15 @@ def calibrate_normalized(det, params, batches_f: Iterable,
         if percentile is None:
             return {k: jnp.max(jnp.abs(v.astype(jnp.float32)))
                     for k, v in tape.items()}
-        return {k: jnp.percentile(
-                    jnp.abs(v.astype(jnp.float32)).reshape(-1),
-                    percentile)
-                for k, v in tape.items()}
+        out = {}
+        for k, v in tape.items():
+            a = jnp.abs(v.astype(jnp.float32))
+            p = jnp.percentile(a.reshape(-1), percentile)
+            # post-ReLU tensors are routinely majority-zero, so a low
+            # percentile can land ON the zeros; fall back to abs-max
+            # rather than emitting a zero scale
+            out[k] = jnp.where(p > 0, p, jnp.max(a))
+        return out
 
     out: Scales = {}
     n = 0

@@ -262,3 +262,19 @@ def test_quant_report_rows():
         assert db > 15.0, (name, db)
         if util == util:  # int8 layer: utilization is meaningful
             assert 0 < util <= 100.0
+
+
+def test_low_percentile_does_not_zero_scales():
+    """A percentile at/below the ReLU sparsity must fall back to
+    abs-max per layer rather than emitting a zero scale (which would
+    abort quantization with a misleading assertion)."""
+    cfg = tiny_test_config(image_width=96, image_height=64)
+    det = get_model("squeezeDet", cfg)
+    params, _, _ = det.init(jax.random.key(0))
+    rng = np.random.RandomState(0)
+    u8 = rng.randint(0, 255, (1, cfg.image_height, cfg.image_width, 3),
+                     np.uint8)
+    scales = calibrate(det, params, [u8], percentile=10.0)
+    assert all(v > 0 for v in scales.values())
+    qp = quantize_detector(det, params, scales)  # must not raise
+    assert "mult" in qp["conv1"]

@@ -12,10 +12,16 @@ fully-fused uint8 -> detections program once, and answers
 The reference's closest analog is demo.py's batch-of-one loop
 (demo.py:161-225); this serves the same program behind a socket with
 no per-request Python postprocessing beyond JSON encoding.  Stdlib
-http.server only — no framework dependency; requests are handled
-serially per process (scale out with processes behind a load
-balancer; for offline bulk scoring use squeezedet-eval's batched
-path instead).
+http.server only — no framework dependency.
+
+By default requests are handled serially per process (scale out with
+processes behind a load balancer; for offline bulk scoring use
+squeezedet-eval's batched path instead).  ``--max_batch N`` switches
+to a threading server with a micro-batcher: concurrent requests that
+arrive within ``--batch_window_ms`` of each other are padded into ONE
+batch-N device program — the TPU-native way to serve concurrency,
+since a batch-N forward costs far less than N batch-1 forwards
+(PARITY.md throughput-vs-batch tables).
 """
 
 from __future__ import annotations
@@ -50,7 +56,82 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help='Calibrate activation ranges at this '
                         'percentile of |activation| instead of '
                         'abs-max (saturating clip, e.g. 99.99).')
+    p.add_argument('--max_batch', type=int, default=1,
+                   help='Micro-batching: compile the program at this '
+                        'batch size, run a threading server, and fold '
+                        'concurrent requests into one device program '
+                        '(padding partial batches).')
+    p.add_argument('--batch_window_ms', type=float, default=2.0,
+                   help='How long the micro-batcher waits for more '
+                        'requests after the first of a batch arrives.')
     return p
+
+
+class MicroBatcher:
+    """Folds concurrent single-image requests into one batched device
+    program.
+
+    ``run_batched`` takes a [N, H, W, 3] uint8 array and returns the
+    postprocessed (boxes, probs, classes, keep) arrays; ``submit(im)``
+    blocks the calling handler thread until its image's row is back.
+    Partial batches are padded with the first image (results of pad
+    rows are dropped), so exactly one executable exists regardless of
+    load.
+    """
+
+    def __init__(self, run_batched, batch: int, window_ms: float):
+        import threading
+        self._run = run_batched
+        self.batch = batch
+        self.window = window_ms / 1000.0
+        self._cv = threading.Condition()
+        self._pending = []  # [(image, slot dict, event)]
+        self.batches_run = 0
+        self.requests = 0
+        t = threading.Thread(target=self._worker, daemon=True)
+        t.start()
+
+    def submit(self, im):
+        import threading
+        ev = threading.Event()
+        slot = {}
+        with self._cv:
+            self._pending.append((im, slot, ev))
+            self.requests += 1
+            self._cv.notify_all()
+        if not ev.wait(timeout=120.0):
+            raise TimeoutError("micro-batch worker stalled")
+        if "error" in slot:
+            raise slot["error"]
+        return slot["out"]
+
+    def _worker(self):
+        import time as _time
+
+        import numpy as np
+        while True:
+            with self._cv:
+                while not self._pending:
+                    self._cv.wait()
+                deadline = _time.monotonic() + self.window
+                while len(self._pending) < self.batch:
+                    remaining = deadline - _time.monotonic()
+                    if remaining <= 0 or not self._cv.wait(remaining):
+                        break
+                group = self._pending[:self.batch]
+                del self._pending[:len(group)]
+            imgs = np.stack([g[0] for g in group] +
+                            [group[0][0]] * (self.batch - len(group)))
+            try:
+                outs = [np.asarray(o) for o in self._run(imgs)]
+                for i, (_, slot, ev) in enumerate(group):
+                    slot["out"] = tuple(o[i:i + 1] for o in outs)
+                    ev.set()
+            except Exception as e:  # surface to every waiting handler
+                for _, slot, ev in group:
+                    slot["error"] = e
+                    ev.set()
+            self.batches_run += 1
 
 
 def _build_from_checkpoint(args):
@@ -60,7 +141,7 @@ def _build_from_checkpoint(args):
     from squeezedet_tpu.models import get_model
 
     cfg = config_for_net(args.net).replace(
-        batch_size=1, load_pretrained_model=False,
+        batch_size=args.max_batch, load_pretrained_model=False,
         compute_dtype=args.compute_dtype)
     det = get_model(args.net, cfg)
     if args.checkpoint:
@@ -84,8 +165,8 @@ def _build_from_checkpoint(args):
     # XLA-negotiated entry layout: same program jax.jit would build,
     # minus the in-program relayout copy of the uint8 frame
     from squeezedet_tpu.serving import negotiated_inference_fn
-    fn, input_format = negotiated_inference_fn(det, 1, params,
-                                               fn=quant_fn)
+    fn, input_format = negotiated_inference_fn(det, args.max_batch,
+                                               params, fn=quant_fn)
     # close over a device-resident copy: load_params returns host numpy
     # arrays, and handing those to the compiled fn would re-transfer the
     # full weight set on every request
@@ -99,7 +180,7 @@ def _build_from_checkpoint(args):
         meta
 
 
-def _build_from_artifact(path):
+def _build_from_artifact(path, max_batch: int = 1):
     from squeezedet_tpu.serving import load_exported
 
     fn, meta = load_exported(path)
@@ -110,10 +191,12 @@ def _build_from_artifact(path):
         raise SystemExit("artifact takes {} input; the server sends raw "
                          "uint8 frames — re-export without "
                          "--f32_input".format(meta["input_dtype"]))
-    if meta.get("batch_size", 1) != 1:
+    if meta.get("batch_size", 1) != max_batch:
         raise SystemExit("artifact was exported at batch_size={}; the "
-                         "server serves one image per request — "
-                         "re-export with --batch_size 1".format(
+                         "server runs the program at batch {} — "
+                         "re-export with a matching --batch_size or "
+                         "pass --max_batch {}".format(
+                             meta["batch_size"], max_batch,
                              meta["batch_size"]))
     return fn, meta
 
@@ -195,6 +278,7 @@ def main(argv=None):
     import numpy as np
 
     args = build_arg_parser().parse_args(argv)
+    assert args.max_batch >= 1, args.max_batch
     if args.artifact:
         if args.quantize:
             raise SystemExit(
@@ -202,7 +286,7 @@ def main(argv=None):
                 "bakes its program in at export time — use "
                 "squeezedet-export --quantize int8 to build an int8 "
                 "artifact)")
-        run, meta = _build_from_artifact(args.artifact)
+        run, meta = _build_from_artifact(args.artifact, args.max_batch)
     else:
         run, meta = _build_from_checkpoint(args)
     prob_thresh = args.prob_thresh if args.prob_thresh is not None \
@@ -210,12 +294,24 @@ def main(argv=None):
 
     # warm the compile before accepting traffic
     h, w = meta["image_height"], meta["image_width"]
-    print("compiling {}x{} program...".format(h, w))
+    print("compiling {}x{} program (batch {})...".format(
+        h, w, args.max_batch))
     import jax
-    jax.block_until_ready(run(np.zeros((1, h, w, 3), np.uint8)))
+    jax.block_until_ready(
+        run(np.zeros((args.max_batch, h, w, 3), np.uint8)))
 
-    server = http.server.HTTPServer(
-        (args.host, args.port), make_handler(run, meta, prob_thresh))
+    if args.max_batch > 1:
+        # concurrency path: handler threads park in the micro-batcher,
+        # which folds them into one batch-N device program
+        batcher = MicroBatcher(run, args.max_batch,
+                               args.batch_window_ms)
+        handler = make_handler(lambda im1: batcher.submit(im1[0]),
+                               meta, prob_thresh)
+        server = http.server.ThreadingHTTPServer(
+            (args.host, args.port), handler)
+    else:
+        server = http.server.HTTPServer(
+            (args.host, args.port), make_handler(run, meta, prob_thresh))
     print("serving on http://{}:{}  (POST /detect, GET /healthz)".format(
         args.host, args.port))
     server.serve_forever()

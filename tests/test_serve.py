@@ -92,3 +92,95 @@ def test_http_detect_quantized_artifact(tmp_path):
     finally:
         server.shutdown()
         thread.join(timeout=10)
+
+
+def test_micro_batcher_folds_concurrent_requests():
+    """MicroBatcher groups concurrent submissions into one padded
+    device call and routes each caller its own row."""
+    from squeezedet_tpu.serve import MicroBatcher
+
+    calls = []
+
+    def run_batched(imgs):
+        calls.append(imgs.shape)
+        # echo: "boxes" = per-image mean so each caller can check
+        # it got its own row back
+        means = imgs.reshape(imgs.shape[0], -1).mean(axis=1)
+        return (means, means, means, means)
+
+    b = MicroBatcher(run_batched, batch=4, window_ms=200.0)
+    imgs = [np.full((8, 8, 3), v, np.uint8) for v in (10, 20, 30)]
+    results = [None] * 3
+
+    def worker(i):
+        results[i] = b.submit(imgs[i])
+
+    ts = [threading.Thread(target=worker, args=(i,)) for i in range(3)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=30)
+    # one padded batch-4 call served all three concurrent requests
+    assert calls == [(4, 8, 8, 3)]
+    assert b.batches_run == 1 and b.requests == 3
+    got = sorted(float(r[0][0]) for r in results)
+    assert got == [10.0, 20.0, 30.0]
+
+
+def test_micro_batcher_propagates_errors():
+    from squeezedet_tpu.serve import MicroBatcher
+
+    def run_batched(imgs):
+        raise RuntimeError("device fell over")
+
+    b = MicroBatcher(run_batched, batch=2, window_ms=1.0)
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="device fell over"):
+        b.submit(np.zeros((8, 8, 3), np.uint8))
+
+
+def test_http_detect_micro_batched(tmp_path):
+    """End-to-end: a batch-4 artifact behind the micro-batcher serves
+    concurrent HTTP requests, folding them into shared programs."""
+    from squeezedet_tpu.serve import MicroBatcher
+
+    cfg = tiny_test_config(image_width=96, image_height=96,
+                           batch_size=4)
+    det = get_model("squeezeDet", cfg)
+    params, _, _ = det.init(jax.random.key(0))
+    art = str(tmp_path / "artifact_b4")
+    export_model(det, params, art, batch_size=4, platforms=("cpu",))
+
+    run, meta = _build_from_artifact(art, max_batch=4)
+    batcher = MicroBatcher(run, batch=4, window_ms=100.0)
+    server = http.server.ThreadingHTTPServer(
+        ("127.0.0.1", 0),
+        make_handler(lambda im1: batcher.submit(im1[0]), meta,
+                     prob_thresh=0.0))
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    base = "http://127.0.0.1:{}".format(server.server_address[1])
+    rng = np.random.RandomState(0)
+    payloads = [None] * 6
+    try:
+        def post(i):
+            im = rng.randint(0, 255, (96, 96, 3), np.uint8)
+            png = cv2.imencode(".png", im)[1].tobytes()
+            req = urllib.request.Request(base + "/detect", data=png,
+                                         method="POST")
+            with urllib.request.urlopen(req, timeout=300) as r:
+                payloads[i] = json.loads(r.read())
+
+        ts = [threading.Thread(target=post, args=(i,)) for i in range(6)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(timeout=300)
+        assert all(p is not None and isinstance(p["detections"], list)
+                   for p in payloads)
+        # 6 requests must NOT have cost 6 device programs
+        assert batcher.batches_run < 6, batcher.batches_run
+        assert batcher.requests == 6
+    finally:
+        server.shutdown()
+        thread.join(timeout=10)

@@ -46,6 +46,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help='Calibrate activation ranges at this '
                         'percentile of |activation| instead of '
                         'abs-max (saturating clip, e.g. 99.99).')
+    p.add_argument('--image_width', type=int, default=0,
+                   help='Override input width (0 = model default).')
+    p.add_argument('--image_height', type=int, default=0,
+                   help='Override input height (0 = model default).')
     p.add_argument('--compilation_cache', default='',
                    help='Persistent XLA compilation cache dir.')
     return p
@@ -133,13 +137,14 @@ def _maybe_quantize(args, det, params, default_calib: str = ''):
 def image_demo(args):
     import cv2
 
-    from squeezedet_tpu.config import config_for_net
+    from squeezedet_tpu.config.kitti import config_for_net_at
     from squeezedet_tpu.models import get_model
 
     assert args.demo_net in ('squeezeDet', 'squeezeDet+'), \
         'Selected neural net architecture not supported: {}'.format(
             args.demo_net)
-    cfg = config_for_net(args.demo_net).replace(
+    cfg = config_for_net_at(args.demo_net, args.image_width,
+                            args.image_height).replace(
         batch_size=1, load_pretrained_model=False)
     if args.compute_dtype:
         cfg = cfg.replace(compute_dtype=args.compute_dtype)
@@ -167,13 +172,14 @@ def video_demo(args):
     import jax
     import jax.numpy as jnp
 
-    from squeezedet_tpu.config import config_for_net
+    from squeezedet_tpu.config.kitti import config_for_net_at
     from squeezedet_tpu.models import get_model
 
     assert args.demo_net in ('squeezeDet', 'squeezeDet+'), \
         'Selected neural net architecture not supported: {}'.format(
             args.demo_net)
-    cfg = config_for_net(args.demo_net).replace(
+    cfg = config_for_net_at(args.demo_net, args.image_width,
+                            args.image_height).replace(
         batch_size=1, load_pretrained_model=False)
     if args.compute_dtype:
         cfg = cfg.replace(compute_dtype=args.compute_dtype)

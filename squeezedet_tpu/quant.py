@@ -198,8 +198,8 @@ def _quantize_fire_chain(mod, params, scales: Scales, s_input: float,
         boundary = {"in_scale": np.float32(s_prev)}
     for name, _, _, _ in mod._FIRES:
         if not quantizing and name == start:
+            # boundary already carries the previous layer's in_scale
             quantizing = True
-            boundary = {"in_scale": np.float32(s_prev)}
         if not quantizing:
             q[name] = {k: dict(v) for k, v in params[name].items()}
             s_prev = _act_scale(scales, name)

@@ -34,4 +34,4 @@ from squeezedet_tpu.serving import (  # noqa: F401
     negotiated_inference_fn,
 )
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"

@@ -131,25 +131,46 @@ def detect_all(det, imdb, params, batch_size: int, quant: bool = False):
 
         def predict(p, images):
             return predict_jit(p, shard_batch(mesh, images))
-    elif len(jax.devices()) > 1 and not quant:
+    elif len(jax.devices()) > 1:
         # batch-1 — the reference protocol (eval.py:150-166): instead of
         # idling all but one chip, shard the image height over every
         # device (spatial partitioning; XLA inserts the conv halo
         # exchanges, tests/test_spatial.py pins the numerics).
-        # Not for int8: XLA's SPMD partitioner mis-types the padding
-        # broadcast of a spatially-sharded s8 conv (hlo_verifier
-        # RET_CHECK SameElementType), so quantized batch-1 eval runs
-        # single-device; the batch-sharded DP branch above is fine.
         from squeezedet_tpu.parallel.mesh import (image_sharding,
                                                   make_mesh_2d,
                                                   replicated_sharding)
+        # int8 caveat: XLA's SPMD partitioner mis-types the zero-pad
+        # broadcast it inserts when a stage's height does NOT divide
+        # evenly over the spatial axis of an s8 conv (hlo_verifier
+        # RET_CHECK SameElementType).  Evenly-divisible geometries —
+        # e.g. the flagship 384/16 = 24 rows over 8 chips — partition
+        # fine, so instead of gating int8 out wholesale, the first call
+        # catches the compile failure and falls back to single-device
+        # only on the broken geometry.
         smesh = make_mesh_2d(1, len(jax.devices()))
+        rep = replicated_sharding(smesh)
+        spatial_jit = jax.jit(base_predict, in_shardings=(
+            rep, image_sharding(smesh)), out_shardings=rep)
+        single_jit = jax.jit(base_predict)
+        host_params = params
+        params = jax.device_put(params, rep)
+        state = {'spatial': True}
         print('Evaluating spatially over {} devices'.format(
             smesh.devices.size))
-        rep = replicated_sharding(smesh)
-        params = jax.device_put(params, rep)
-        predict = jax.jit(base_predict, in_shardings=(
-            rep, image_sharding(smesh)), out_shardings=rep)
+
+        def predict(p, images):
+            if state['spatial']:
+                try:
+                    return spatial_jit(p, images)
+                except Exception as e:
+                    if 'SameElementType' not in str(e):
+                        raise
+                    print('int8 spatial partitioning unavailable for '
+                          'this geometry (stage heights must divide '
+                          'evenly over {} devices); evaluating '
+                          'single-device'.format(smesh.devices.size))
+                    state['spatial'] = False
+            return single_jit(host_params, images)
     else:
         predict = jax.jit(base_predict)
 

@@ -236,6 +236,59 @@ def _write_loss_summaries(summary_writer, cfg, step: int, lb) -> None:
                           step)
 
 
+def _dispatch_cadences(covered, lb, *, start_time, cfg, log_every,
+                       summary_step, summary_writer, checkpoint_step,
+                       max_steps, force_materialize=False):
+    """The ONE cadence implementation shared by both training loops.
+
+    ``covered`` is the range of steps one device dispatch advanced — K
+    for the scanned program, 1 otherwise; ``lb`` is that dispatch's
+    loss breakdown (scalar leaves, or [K]-leading for the scan).
+    Evaluates the throughput-log / loss-summary / checkpoint cadences
+    over every covered step and runs the NaN divergence gate
+    (reference train.py:313-325) whenever losses are materialized.
+
+    Loss values are pulled from device ONLY when some cadence (or
+    ``force_materialize``, used by the scan loop whose checkpoint gate
+    wants per-step totals anyway) asks — quiet steps of the K=1 loop
+    stay fully async so host work overlaps device dispatch.
+
+    Returns ``(summary_due, checkpoint_due, totals)``; ``totals`` is
+    the materialized per-covered-step loss array (None when nothing
+    fired).
+    """
+    last = covered[-1]
+    do_log = any(s % log_every == 0 for s in covered)
+    do_summary = summary_writer is not None and any(
+        s % summary_step == 0 for s in covered)
+    checkpoint_due = any(s % checkpoint_step == 0 for s in covered) \
+        or last + 1 == max_steps
+    totals = None
+    if do_log or do_summary or checkpoint_due or force_materialize:
+        totals = np.asarray(lb.total).reshape(-1)
+        assert not np.isnan(totals).any(), (
+            'Model diverged. Losses in steps [{}..{}]: total {}, '
+            'conf {}, bbox {}, class {}'.format(
+                covered[0], last, totals,
+                np.asarray(lb.conf_loss).reshape(-1),
+                np.asarray(lb.bbox_loss).reshape(-1),
+                np.asarray(lb.class_loss).reshape(-1)))
+    if do_log:
+        duration = time.time() - start_time
+        k = len(covered)
+        per = ('%.3f sec/batch' % duration) if k == 1 else \
+            ('%.3f sec/%d-step dispatch' % (duration, k))
+        print('%s: step %d, loss = %.2f (%.1f images/sec; %s)' % (
+            datetime.now(), last, float(totals[-1]),
+            cfg.batch_size * k / duration, per))
+        sys.stdout.flush()
+    if do_summary:
+        lb_last = jax.tree.map(
+            lambda x: np.asarray(x).reshape(-1)[-1], lb)
+        _write_loss_summaries(summary_writer, cfg, last, lb_last)
+    return do_summary, checkpoint_due, totals
+
+
 def _save_checkpoint(ckpt, train_dir: str, imdb, loader, rng, params,
                      opt_state, *, next_step: int, max_steps: int,
                      totals) -> TrainState:
@@ -566,7 +619,6 @@ def train(det: Detector, imdb, *, train_dir: str, max_steps: int,
             K = steps_per_dispatch
             scan_step = make_train_step_device_scan(
                 det, tx, K, mesh=mesh, uint8_ingest=uint8_ingest)
-            single_step = None
             step = state.step
             while step < max_steps:
                 start_time = time.time()
@@ -582,39 +634,22 @@ def train(det: Detector, imdb, *, train_dir: str, max_steps: int,
                         params, opt_state, *stacked, jnp.stack(rngs))
                     k_done = K
                 else:  # tail smaller than K: single-step dispatches
-                    if single_step is None:
-                        single_step = train_step
                     images, gt_boxes, gt_labels, num_gt = loader.get()
                     rng, r = jax.random.split(rng)
-                    params, opt_state, lb1 = single_step(
+                    params, opt_state, lbs = train_step(
                         params, opt_state, jnp.asarray(images),
                         jnp.asarray(gt_boxes), jnp.asarray(gt_labels),
                         jnp.asarray(num_gt), r)
-                    lbs = jax.tree.map(lambda x: jnp.asarray(x)[None],
-                                       lb1)
                     k_done = 1
                 covered = range(step, step + k_done)
-                totals = np.asarray(lbs.total)
-                assert not np.isnan(totals).any(), (
-                    'Model diverged. Losses in dispatch [{}..{}]: '
-                    '{}'.format(step, step + k_done - 1, totals))
-                last = step + k_done - 1
-                lb_last = jax.tree.map(lambda x: np.asarray(x)[-1], lbs)
-                if any(s % log_every == 0 for s in covered):
-                    duration = time.time() - start_time
-                    print('%s: step %d, loss = %.2f (%.1f images/sec; '
-                          '%.3f sec/%d-step dispatch)' % (
-                              datetime.now(), last, float(lb_last.total),
-                              cfg.batch_size * k_done / duration,
-                              duration, k_done))
-                    sys.stdout.flush()
-                if summary_writer is not None and \
-                        any(s % summary_step == 0 for s in covered):
-                    _write_loss_summaries(summary_writer, cfg, last,
-                                          lb_last)
                 step += k_done
-                if any(s % checkpoint_step == 0 for s in covered) or \
-                        step == max_steps:
+                _, ckpt_due, totals = _dispatch_cadences(
+                    covered, lbs, start_time=start_time, cfg=cfg,
+                    log_every=log_every, summary_step=summary_step,
+                    summary_writer=summary_writer,
+                    checkpoint_step=checkpoint_step,
+                    max_steps=max_steps, force_materialize=True)
+                if ckpt_due:
                     state = _save_checkpoint(
                         ckpt, train_dir, imdb, loader, rng, params,
                         opt_state, next_step=step, max_steps=max_steps,
@@ -660,33 +695,24 @@ def train(det: Detector, imdb, *, train_dir: str, max_steps: int,
                     params, opt_state, images, targets, step_rng)
                 targets = host_batch[1]
 
-            do_log = step % log_every == 0
-            do_summary = summary_writer is not None and \
-                step % summary_step == 0
-            if do_log or do_summary:
-                loss_value = float(lb.total)
-                conf_loss = float(lb.conf_loss)
-                bbox_loss = float(lb.bbox_loss)
-                class_loss = float(lb.class_loss)
-                assert not np.isnan(loss_value), (
-                    'Model diverged. Total loss: {}, conf_loss: {}, '
-                    'bbox_loss: {}, class_loss: {}'.format(
-                        loss_value, conf_loss, bbox_loss, class_loss))
-            if do_summary:
-                _write_loss_summaries(summary_writer, cfg, step, lb)
-                if viz_step and step % viz_step == 0:
-                    if targets is None and viz_assign is not None:
-                        targets = viz_assign(
-                            anchors_const, jnp.asarray(host_batch[1]),
-                            jnp.asarray(host_batch[2]),
-                            jnp.asarray(host_batch[3]))
-                    if targets is not None:
-                        ims = viz_prediction_images(
-                            det, params,
-                            _images_for_summary(host_batch[0]), targets)
-                        summary_writer.image(
-                            "sample_detection_results", ims, step,
-                            max_outputs=cfg.batch_size)
+            do_summary, ckpt_due, totals = _dispatch_cadences(
+                range(step, step + 1), lb, start_time=start_time,
+                cfg=cfg, log_every=log_every, summary_step=summary_step,
+                summary_writer=summary_writer,
+                checkpoint_step=checkpoint_step, max_steps=max_steps)
+            if do_summary and viz_step and step % viz_step == 0:
+                if targets is None and viz_assign is not None:
+                    targets = viz_assign(
+                        anchors_const, jnp.asarray(host_batch[1]),
+                        jnp.asarray(host_batch[2]),
+                        jnp.asarray(host_batch[3]))
+                if targets is not None:
+                    ims = viz_prediction_images(
+                        det, params,
+                        _images_for_summary(host_batch[0]), targets)
+                    summary_writer.image(
+                        "sample_detection_results", ims, step,
+                        max_outputs=cfg.batch_size)
             if summary_writer is not None and histogram_step and \
                     step % histogram_step == 0:
                 if grad_fn is None:
@@ -711,18 +737,11 @@ def train(det: Detector, imdb, *, train_dir: str, max_steps: int,
                     write_activation_summaries(
                         summary_writer, det, params,
                         _images_for_summary(host_batch[0]), step)
-            if do_log:
-                duration = time.time() - start_time
-                print('%s: step %d, loss = %.2f (%.1f images/sec; %.3f '
-                      'sec/batch)' % (datetime.now(), step, loss_value,
-                                      cfg.batch_size / duration, duration))
-                sys.stdout.flush()
-
-            if step % checkpoint_step == 0 or (step + 1) == max_steps:
+            if ckpt_due:
                 state = _save_checkpoint(
                     ckpt, train_dir, imdb, loader, rng, params, opt_state,
                     next_step=step + 1, max_steps=max_steps,
-                    totals=float(lb.total))
+                    totals=totals)
         state = TrainState(params=jax.device_get(params),
                            opt_state=jax.device_get(opt_state),
                            step=max_steps)

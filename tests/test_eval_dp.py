@@ -45,9 +45,12 @@ def test_detect_all_mesh_matches_single_device(kitti_root):
                 np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-3)
 
 
-def test_detect_all_quant_mesh_matches_single_device(kitti_root):
+def test_detect_all_quant_mesh_matches_single_device(kitti_root, capsys):
     """int8 eval over the 8-device mesh (the pod-host --quantize path)
-    must reproduce the single-device int8 scan."""
+    must reproduce the single-device int8 scan.  At 96 rows the deepest
+    stage (96/16 = 6) does not divide over 8 devices, so the batch-1
+    reference run must take the graceful single-device fallback around
+    the XLA GSPMD s8 padding bug (eval.py detect_all)."""
     from squeezedet_tpu.eval import quantize_on_split
 
     cfg1 = tiny_test_config(image_width=320, image_height=96,
@@ -58,6 +61,8 @@ def test_detect_all_quant_mesh_matches_single_device(kitti_root):
     qp = quantize_on_split(det1, db1, params, calib_batches=2)
     ref_boxes, ref_n, _ = detect_all(det1, db1, qp, batch_size=1,
                                      quant=True)
+    out = capsys.readouterr().out
+    assert "int8 spatial partitioning unavailable" in out
 
     cfg8 = cfg1.replace(batch_size=8)
     det8 = get_model("squeezeDet", cfg8)
@@ -69,6 +74,41 @@ def test_detect_all_quant_mesh_matches_single_device(kitti_root):
     for c in range(db1.num_classes):
         for i in range(len(db1.image_idx)):
             a = np.asarray(sorted(map(tuple, ref_boxes[c][i])))
+            b = np.asarray(sorted(map(tuple, dp_boxes[c][i])))
+            assert a.shape == b.shape, (c, i)
+            if a.size:
+                np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-3)
+
+
+def test_detect_all_quant_spatial_even_geometry(kitti_root, capsys):
+    """When every stage height divides evenly over the mesh (128/16 = 8
+    rows over 8 devices), int8 batch-1 eval runs genuinely SPATIALLY —
+    no fallback — and matches the int8 data-parallel scan (the flagship
+    384-row geometry divides the same way on a real 8-chip host)."""
+    from squeezedet_tpu.eval import quantize_on_split
+
+    cfg1 = tiny_test_config(image_width=320, image_height=128,
+                            batch_size=1)
+    det1 = get_model("squeezeDet", cfg1)
+    params, _, _ = det1.init(jax.random.key(0))
+    db1 = Kitti("val", kitti_root, cfg1)
+    qp = quantize_on_split(det1, db1, params, calib_batches=2)
+    sp_boxes, sp_n, _ = detect_all(det1, db1, qp, batch_size=1,
+                                   quant=True)
+    out = capsys.readouterr().out
+    assert "Evaluating spatially over 8 devices" in out
+    assert "int8 spatial partitioning unavailable" not in out
+
+    cfg8 = cfg1.replace(batch_size=8)
+    det8 = get_model("squeezeDet", cfg8)
+    db8 = Kitti("val", kitti_root, cfg8)
+    dp_boxes, dp_n, _ = detect_all(det8, db8, qp, batch_size=8,
+                                   quant=True)
+
+    assert sp_n == dp_n
+    for c in range(db1.num_classes):
+        for i in range(len(db1.image_idx)):
+            a = np.asarray(sorted(map(tuple, sp_boxes[c][i])))
             b = np.asarray(sorted(map(tuple, dp_boxes[c][i])))
             assert a.shape == b.shape, (c, i)
             if a.size:

@@ -688,3 +688,58 @@ def test_train_resume_is_bit_exact(kitti_root, tmp_path):
     leaves_b = jax.tree_util.tree_leaves(state_b.params)
     for a, b in zip(leaves_a, leaves_b):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_dispatch_cadences_unit(cfg, tmp_path, capsys):
+    """The shared cadence helper (VERDICT r2 item 7): one implementation
+    must serve both loops — scalar loss leaves (K=1 path) and
+    [K]-leading leaves (scan path) — with identical gate semantics."""
+    from squeezedet_tpu.models.skeleton import LossBreakdown
+    from squeezedet_tpu.summary import SummaryWriter
+    from squeezedet_tpu.trainer import _dispatch_cadences
+    import time as _time
+
+    def lb_scalar(total):
+        return LossBreakdown(*(jnp.float32(v) for v in
+                               (total, 0.1, 0.2, 0.3, 0.5)))
+
+    def lb_scan(totals):
+        k = len(totals)
+        return LossBreakdown(
+            jnp.asarray(totals, jnp.float32),
+            *(jnp.full((k,), v, jnp.float32) for v in (0.1, 0.2, 0.3,
+                                                       0.5)))
+
+    common = dict(start_time=_time.time(), cfg=cfg, log_every=2,
+                  summary_step=3, checkpoint_step=4, max_steps=100)
+
+    # quiet step: nothing fires, loss is NOT materialized (async keep)
+    do_sum, ckpt, totals = _dispatch_cadences(
+        range(1, 2), lb_scalar(1.0), summary_writer=None, **common)
+    assert (do_sum, ckpt, totals) == (False, False, None)
+
+    # K=1 cadence hits: log at %2, checkpoint at %4
+    do_sum, ckpt, totals = _dispatch_cadences(
+        range(4, 5), lb_scalar(2.0), summary_writer=None, **common)
+    assert ckpt and totals.shape == (1,) and totals[0] == 2.0
+    assert "step 4" in capsys.readouterr().out
+
+    # scan dispatch covering [2..4]: every covered step is evaluated
+    w = SummaryWriter(str(tmp_path / "ev"))
+    do_sum, ckpt, totals = _dispatch_cadences(
+        range(2, 5), lb_scan([1.0, 2.0, 3.0]), summary_writer=w,
+        **common)
+    w.close()
+    assert do_sum and ckpt  # summary due at step 3, checkpoint at 4
+    np.testing.assert_array_equal(totals, [1.0, 2.0, 3.0])
+    assert "3-step dispatch" in capsys.readouterr().out
+
+    # last-step checkpoint: fires at max_steps-1 regardless of cadence
+    _, ckpt, _ = _dispatch_cadences(
+        range(99, 100), lb_scalar(1.0), summary_writer=None, **common)
+    assert ckpt
+
+    # NaN divergence gate (reference train.py:313-315)
+    with pytest.raises(AssertionError, match="diverged"):
+        _dispatch_cadences(range(4, 5), lb_scalar(float("nan")),
+                           summary_writer=None, **common)

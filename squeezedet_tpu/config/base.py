@@ -86,6 +86,13 @@ class ModelConfig:
     momentum: float = 0.9
     weight_decay: float = 0.0005
     max_grad_norm: float = 10.0
+    # Linear LR warmup over the first N steps (0 = off, the reference
+    # behaviour).  No reference equivalent: the reference always starts
+    # from pretrained backbones at batch 20 (kitti_squeezeDet_config
+    # .py:15-22); large-batch training (the TPU perf sweet spot is
+    # batch 128) needs the linearly-scaled LR ramped in to keep the
+    # early steps of a cold momentum buffer from diverging.
+    lr_warmup_steps: int = 0
 
     # Dropout / misc ----------------------------------------------------------
     keep_prob: float = 0.5

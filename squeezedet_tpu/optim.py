@@ -24,9 +24,18 @@ from squeezedet_tpu.config import ModelConfig
 
 
 def staircase_exponential_decay(lr0: float, decay_steps: int,
-                                decay_factor: float) -> Callable:
+                                decay_factor: float,
+                                warmup_steps: int = 0) -> Callable:
+    """Reference schedule (nn_skeleton.py:334) with optional linear
+    warmup: lr ramps (step+1)/warmup_steps -> 1x over the first
+    ``warmup_steps`` updates, then follows the staircase decay.  The
+    ramp multiplies the decayed value so warmup_steps > decay_steps
+    still composes sensibly (it never does in practice)."""
     def schedule(step):
-        return lr0 * decay_factor ** jnp.floor(step / decay_steps)
+        lr = lr0 * decay_factor ** jnp.floor(step / decay_steps)
+        if warmup_steps > 0:
+            lr = lr * jnp.minimum(1.0, (step + 1.0) / warmup_steps)
+        return lr
     return schedule
 
 
@@ -101,7 +110,8 @@ def build_optimizer(cfg: ModelConfig,
                     trainable_mask) -> optax.GradientTransformation:
     """Clip -> momentum -> -lr(step), with frozen leaves masked out."""
     schedule = staircase_exponential_decay(
-        cfg.learning_rate, cfg.decay_steps, cfg.lr_decay_factor)
+        cfg.learning_rate, cfg.decay_steps, cfg.lr_decay_factor,
+        warmup_steps=cfg.lr_warmup_steps)
     return optax.chain(
         freeze_mask_transform(trainable_mask),
         clip_by_norm_per_leaf(cfg.max_grad_norm),
@@ -111,5 +121,8 @@ def build_optimizer(cfg: ModelConfig,
 
 
 def learning_rate_at(cfg: ModelConfig, step: int) -> float:
-    return float(cfg.learning_rate
-                 * cfg.lr_decay_factor ** (step // cfg.decay_steps))
+    lr = float(cfg.learning_rate
+               * cfg.lr_decay_factor ** (step // cfg.decay_steps))
+    if cfg.lr_warmup_steps > 0:
+        lr *= min(1.0, (step + 1.0) / cfg.lr_warmup_steps)
+    return lr

@@ -38,6 +38,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help='Number of steps to save summary.')
     p.add_argument('--checkpoint_step', type=int, default=1000,
                    help='Number of steps to save checkpoint.')
+    p.add_argument('--max_to_keep', type=int, default=5,
+                   help='Checkpoints retained in train_dir; older steps '
+                        '(and their sampler snapshots) are pruned after '
+                        'each save, like the reference tf.train.Saver '
+                        'default of 5 (train.py:240). 0 keeps all.')
     p.add_argument('--num_devices', type=int, default=0,
                    help='Devices for data parallelism (0 = all).')
     p.add_argument('--seed', type=int, default=0)
@@ -58,6 +63,18 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help='Override batch size (0 = model default).')
     p.add_argument('--learning_rate', type=float, default=0.0,
                    help='Override initial learning rate (0 = config).')
+    p.add_argument('--lr_warmup_steps', type=int, default=0,
+                   help='Linear LR warmup over the first N steps '
+                        '(0 = off). Use with a linearly-scaled '
+                        'learning rate when raising the batch size '
+                        'beyond the reference recipe (e.g. batch 128 '
+                        '= 8x batch 16 -> 8x the batch-16 LR with '
+                        '~10%% of the run warmed up).')
+    p.add_argument('--decay_steps', type=int, default=0,
+                   help='Override LR staircase decay interval in steps '
+                        '(0 = config default 10000). Scale by '
+                        'batch_ref/batch when raising the batch size '
+                        'so decay happens at the same epoch.')
     p.add_argument('--no_augmentation', action='store_true',
                    help='Disable drift/flip data augmentation '
                         '(mc.DATA_AUGMENTATION).')
@@ -142,6 +159,10 @@ def main(argv=None):
         cfg = cfg.replace(data_augmentation=False)
     if args.learning_rate:
         cfg = cfg.replace(learning_rate=args.learning_rate)
+    if args.lr_warmup_steps:
+        cfg = cfg.replace(lr_warmup_steps=args.lr_warmup_steps)
+    if args.decay_steps:
+        cfg = cfg.replace(decay_steps=args.decay_steps)
     if args.native_loader:
         from squeezedet_tpu.native import dataloader as ndl
         ndl.build()
@@ -205,7 +226,8 @@ def main(argv=None):
           activation_summary=args.activation_summary,
           uint8_ingest=args.uint8_ingest,
           steps_per_dispatch=args.steps_per_dispatch,
-          rng_impl=args.rng_impl, pallas_grads=args.pallas_grads)
+          rng_impl=args.rng_impl, pallas_grads=args.pallas_grads,
+          max_to_keep=args.max_to_keep)
     if writer is not None:
         writer.close()
 

@@ -12,12 +12,14 @@ CLASSES = ("Car", "Pedestrian", "Cyclist")
 
 def make_synth_kitti(root: str, num_images: int = 6, width: int = 320,
                      height: int = 96, seed: int = 0,
-                     image_set: str = "train"):
+                     image_set: str = "train", start_index: int = 0):
     """Create <root>/training/{image_2,label_2} + ImageSets/<set>.txt.
 
     Each image contains 1-3 colored rectangles with matching KITTI label
     lines (fully visible, level-1 difficulty so nothing is filtered).
-    Returns the list of image indices.
+    Returns the list of image indices.  ``start_index`` offsets the
+    image numbering so disjoint splits (a held-out val set with its own
+    seed) can live in one dataset root.
     """
     import cv2
     rng = np.random.RandomState(seed)
@@ -33,7 +35,7 @@ def make_synth_kitti(root: str, num_images: int = 6, width: int = 320,
     base_color = {"Car": (200, 60, 40), "Pedestrian": (40, 200, 60),
                   "Cyclist": (40, 60, 200)}
     indices = []
-    for i in range(num_images):
+    for i in range(start_index, start_index + num_images):
         idx = "{:06d}".format(i)
         indices.append(idx)
         im = rng.randint(0, 60, (height, width, 3)).astype(np.uint8)

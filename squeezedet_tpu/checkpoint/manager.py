@@ -28,28 +28,88 @@ def latest_step(directory: str) -> Optional[int]:
     """Largest checkpoint step present in ``directory`` (None if empty).
 
     Mirrors tf.train.get_checkpoint_state polling (train.py:243-245,
-    eval.py:221-229).
+    eval.py:221-229).  Safe against a concurrent retention pruner: if
+    a listed step vanished before its isdir check (the poller was
+    descheduled across a save+prune cycle), the listdir snapshot is
+    stale — re-scan rather than report the directory empty.  A scan
+    that finds at least one live step is authoritative enough: the
+    newest finalized step is never pruned until a newer one exists, so
+    a stale maximum only means the next poll will see a larger step.
     """
     if not os.path.isdir(directory):
         return None
+    for _ in range(8):
+        steps = []
+        raced = False
+        for name in os.listdir(directory):
+            m = _STEP_RE.match(name)
+            if m:
+                if os.path.isdir(os.path.join(directory, name)):
+                    steps.append(int(m.group(1)))
+                else:
+                    raced = True
+        if steps or not raced:
+            break
+    return max(steps) if steps else None
+
+
+def all_steps(directory: str) -> list:
+    """Every finalized checkpoint step in ``directory``, ascending."""
+    if not os.path.isdir(directory):
+        return []
     steps = []
     for name in os.listdir(directory):
         m = _STEP_RE.match(name)
         if m and os.path.isdir(os.path.join(directory, name)):
             steps.append(int(m.group(1)))
-    return max(steps) if steps else None
+    return sorted(steps)
 
 
 class CheckpointManager:
-    """Save/restore param + optimizer-state pytrees keyed by step."""
+    """Save/restore param + optimizer-state pytrees keyed by step.
 
-    def __init__(self, directory: str):
+    ``max_to_keep`` bounds the checkpoint directory like the reference's
+    ``tf.train.Saver`` default of 5 (train.py:240): after each save,
+    steps older than the newest ``max_to_keep`` are pruned (their
+    ``sampler.ckpt-<step>*.npz`` input-stream snapshots too).  ``None``
+    or 0 keeps everything.  Pruning renames the step directory out of
+    :func:`latest_step`'s anchored pattern FIRST and rmtrees the rename,
+    so a concurrently polling eval daemon can never pick up (or observe
+    a half-deleted) pruned step; the newest finalized step is never
+    touched.
+    """
+
+    def __init__(self, directory: str, max_to_keep: Optional[int] = None):
         self.directory = os.path.abspath(directory)
         os.makedirs(self.directory, exist_ok=True)
+        self.max_to_keep = max_to_keep or 0
         self._ckptr = ocp.StandardCheckpointer() if _HAVE_ORBAX else None
 
     def _path(self, step: int) -> str:
         return os.path.join(self.directory, "model.ckpt-{}".format(step))
+
+    def prune(self, keep_newest: int) -> list:
+        """Delete all but the newest ``keep_newest`` finalized steps
+        (and their sampler snapshots).  Returns the pruned steps."""
+        import shutil
+        steps = all_steps(self.directory)
+        pruned = steps[:-keep_newest] if keep_newest > 0 else steps
+        for step in pruned:
+            path = self._path(step)
+            doomed = path + ".pruning"
+            try:
+                os.rename(path, doomed)  # atomic: unmatches latest_step
+            except OSError:  # pragma: no cover - concurrent pruner won
+                continue
+            shutil.rmtree(doomed, ignore_errors=True)
+            for name in os.listdir(self.directory):
+                if name.startswith("sampler.ckpt-{}".format(step)) and \
+                        name.endswith(".npz"):
+                    try:
+                        os.remove(os.path.join(self.directory, name))
+                    except OSError:  # pragma: no cover
+                        pass
+        return pruned
 
     def save(self, step: int, tree: Any, wait: bool = True) -> str:
         """Write ``model.ckpt-<step>``.
@@ -67,6 +127,14 @@ class CheckpointManager:
         if self._ckptr is not None:
             # serialize with any in-flight async save (orbax allows one)
             self._ckptr.wait_until_finished()
+            if self.max_to_keep and jax.process_index() == 0:
+                # prune BEFORE the new save starts: every prior save is
+                # finalized here, so keeping the newest max_to_keep-1
+                # plus the incoming step bounds the dir at max_to_keep.
+                # Always retain >= 1 finalized step so a polling daemon
+                # never observes an empty dir (max_to_keep=1 therefore
+                # transiently holds 2).
+                self.prune(max(self.max_to_keep - 1, 1))
             self._ckptr.save(path, tree, force=True)
             if wait:
                 self._ckptr.wait_until_finished()

@@ -422,7 +422,8 @@ def train(det: Detector, imdb, *, train_dir: str, max_steps: int,
           uint8_ingest: bool = False,
           steps_per_dispatch: int = 1,
           rng_impl: str = "",
-          pallas_grads: bool = False) -> TrainState:
+          pallas_grads: bool = False,
+          max_to_keep: int = 5) -> TrainState:
     """Full training loop (reference train.py:102-335).
 
     ``rng_impl``: PRNG implementation for the step/dropout keys, e.g.
@@ -468,8 +469,9 @@ def train(det: Detector, imdb, *, train_dir: str, max_steps: int,
         write_model_metrics(os.path.join(train_dir, "model_metrics.txt"),
                             tracer)
 
-    # auto-resume from latest checkpoint (train.py:243-245)
-    ckpt = CheckpointManager(train_dir)
+    # auto-resume from latest checkpoint (train.py:243-245); retention
+    # bounded like the reference Saver's max_to_keep=5 (train.py:240)
+    ckpt = CheckpointManager(train_dir, max_to_keep=max_to_keep)
     if jax.process_count() > 1:
         # Multihost checkpointing requires train_dir on SHARED storage:
         # orbax writes the replicated tree from the primary host only,

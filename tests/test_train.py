@@ -56,6 +56,22 @@ def test_staircase_lr_matches_tf_semantics():
         cfg.learning_rate * cfg.lr_decay_factor)
 
 
+def test_lr_warmup_ramp():
+    """Linear warmup multiplies the staircase schedule: (step+1)/W up
+    to 1x, identical to the no-warmup schedule afterwards."""
+    sched = staircase_exponential_decay(0.08, 10000, 0.5,
+                                        warmup_steps=40)
+    assert float(sched(0)) == pytest.approx(0.08 / 40)
+    assert float(sched(19)) == pytest.approx(0.08 * 20 / 40)
+    assert float(sched(39)) == pytest.approx(0.08)
+    assert float(sched(40)) == pytest.approx(0.08)
+    assert float(sched(10000)) == pytest.approx(0.04)
+    cfg = tiny_test_config().replace(learning_rate=0.08,
+                                     lr_warmup_steps=40)
+    assert learning_rate_at(cfg, 0) == pytest.approx(0.08 / 40)
+    assert learning_rate_at(cfg, 39) == pytest.approx(0.08)
+
+
 def test_clip_by_norm_per_leaf():
     tx = clip_by_norm_per_leaf(1.0)
     g = {"a": jnp.array([3.0, 4.0]), "b": jnp.array([0.1, 0.1])}
@@ -570,6 +586,84 @@ def test_async_checkpoint_save_finalizes(cfg, tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(tree),
                     jax.tree_util.tree_leaves(restored)):
         np.testing.assert_array_equal(np.asarray(b), np.asarray(a))
+
+
+def test_checkpoint_retention_bounds_dir(tmp_path):
+    """max_to_keep prunes older steps (and their sampler snapshots)
+    after each save, like the reference Saver default of 5
+    (reference train.py:240); the newest steps always survive."""
+    from squeezedet_tpu.checkpoint.manager import (CheckpointManager,
+                                                   all_steps, latest_step)
+    d = str(tmp_path)
+    mgr = CheckpointManager(d, max_to_keep=3)
+    for step in range(1, 9):
+        mgr.save(step, {"w": np.full((4,), step, np.float32)})
+        np.savez(os.path.join(d, "sampler.ckpt-{}.npz".format(step)),
+                 cur=np.asarray(step))
+    assert all_steps(d) == [6, 7, 8]
+    assert latest_step(d) == 8
+    samplers = sorted(n for n in os.listdir(d)
+                      if n.startswith("sampler.ckpt-"))
+    assert samplers == ["sampler.ckpt-6.npz", "sampler.ckpt-7.npz",
+                        "sampler.ckpt-8.npz"]
+    # pruned steps are fully gone (no .pruning leftovers)
+    assert not [n for n in os.listdir(d) if n.endswith(".pruning")]
+    # the survivors restore fine
+    like = {"w": np.zeros((4,), np.float32)}
+    np.testing.assert_array_equal(mgr.restore(6, like)["w"],
+                                  np.full((4,), 6, np.float32))
+
+
+def test_checkpoint_retention_daemon_race(tmp_path):
+    """A concurrently polling eval daemon (latest_step + restore, like
+    eval.main) never observes an empty dir, a half-deleted step, or a
+    step going backwards while the trainer saves and prunes."""
+    import threading
+
+    from squeezedet_tpu.checkpoint.manager import (CheckpointManager,
+                                                   latest_step)
+    d = str(tmp_path)
+    writer = CheckpointManager(d, max_to_keep=2)
+    reader = CheckpointManager(d)
+    like = {"w": np.zeros((4,), np.float32)}
+    writer.save(1, {"w": np.full((4,), 1, np.float32)})
+
+    stop = threading.Event()
+    failures = []
+    observed = []
+
+    def daemon():
+        last = 0
+        while not stop.is_set():
+            s = latest_step(d)
+            if s is None:
+                failures.append("empty dir observed")
+                return
+            if s < last:
+                failures.append("step went backwards: {} -> {}".format(
+                    last, s))
+                return
+            if s != last:
+                last = s
+                observed.append(s)
+                try:
+                    got = reader.restore(s, like)
+                    np.testing.assert_array_equal(
+                        got["w"], np.full((4,), s, np.float32))
+                except Exception as e:  # noqa: BLE001 - recorded
+                    failures.append("restore({}) failed: {}".format(s, e))
+                    return
+
+    t = threading.Thread(target=daemon)
+    t.start()
+    try:
+        for step in range(2, 12):
+            writer.save(step, {"w": np.full((4,), step, np.float32)})
+    finally:
+        stop.set()
+        t.join()
+    assert not failures, failures
+    assert observed, "daemon never saw a checkpoint"
 
 
 def test_scan_dispatch_matches_single_steps(kitti_root, cfg):

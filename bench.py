@@ -21,6 +21,31 @@ import sys
 import time
 
 
+def _chain(base_fn):
+    """Wrap ``fn(p, x) -> out`` as ``step(p, x, tok) -> (out, tok')``.
+
+    ``tok'`` is computed from the output and ``tok`` is folded into the
+    next input, so dispatch i+1 data-depends on dispatch i: the
+    measurement loop can never be collapsed by this backend's
+    dropped-dispatch elision (CLAUDE.md: a loop of identical dispatches
+    whose outputs are unused measured 0.02 ms for a 3.5 ms conv).  At
+    runtime the fold is the identity — ``isnan`` of a finite token is 0
+    — but XLA cannot prove that at compile time, and the scalar add
+    fuses into the program's existing input fusion (measured neutral vs
+    the unchained program; the number also matches the xplane
+    per-execution span).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    def step(p, x, tok):
+        x = x + jnp.isnan(tok).astype(x.dtype)
+        out = base_fn(p, x)
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        return out, jnp.max(leaf).astype(jnp.float32)
+    return step
+
+
 def bench(batch_size: int = 128, iters: int = 30, warmup: int = 5,
           compute_dtype: str = "bfloat16", net: str = "squeezeDet",
           postprocess: bool = True, uint8_input: bool = True,
@@ -63,7 +88,16 @@ def bench(batch_size: int = 128, iters: int = 30, warmup: int = 5,
             if not postprocess:
                 return interp
             return det.postprocess_device(interp)
-        return jax.jit(fn)
+        return fn
+
+    def jit_chained(base_fn, input_format=None):
+        # the elision-proof measurement step (see _chain); the
+        # negotiated entry layout applies to the image argument only
+        if input_format is not None and \
+                not isinstance(input_format, jax.Device):
+            return jax.jit(_chain(base_fn),
+                           in_shardings=(None, input_format, None))
+        return jax.jit(_chain(base_fn))
 
     input_format = None
     if quant:
@@ -74,38 +108,45 @@ def bench(batch_size: int = 128, iters: int = 30, warmup: int = 5,
         # negotiated like the bf16 serving path
         from squeezedet_tpu.serving import negotiated_inference_fn
         params = det.quantize(params, [np.asarray(make_inputs(batch_size))])
-        fn, input_format = negotiated_inference_fn(
+        _, input_format = negotiated_inference_fn(
             det, batch_size, params, fn=det.predict_quant_postprocessed)
+        step_fn = jit_chained(det.predict_quant_postprocessed,
+                              input_format)
     elif uint8_input and postprocess:
         # serving path: XLA-negotiated entry layout removes the
         # relayout copy after the uint8 normalize fusion (the DMA
         # engine produces tiled layouts for free on real TPU hosts)
         from squeezedet_tpu.serving import negotiated_inference_fn
-        fn, input_format = negotiated_inference_fn(det, batch_size,
-                                                   params)
+        _, input_format = negotiated_inference_fn(det, batch_size,
+                                                  params)
+        step_fn = jit_chained(det.predict_raw_postprocessed,
+                              input_format)
     else:
-        fn = make_fn()
+        step_fn = jit_chained(make_fn())
     images = make_inputs(batch_size)
     if input_format is not None:
         images = jax.device_put(np.asarray(images), input_format)
-    out = fn(params, images)
-    jax.block_until_ready(out)
+    tok = jnp.float32(0)
+    out, tok = step_fn(params, images, tok)
+    jax.block_until_ready(tok)
     for _ in range(warmup):
-        out = fn(params, images)
-    jax.block_until_ready(out)
+        out, tok = step_fn(params, images, tok)
+    jax.block_until_ready(tok)
 
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fn(params, images)
-    jax.block_until_ready(out)
+        out, tok = step_fn(params, images, tok)
+    jax.block_until_ready(tok)
     dt = time.perf_counter() - t0
     images_per_sec = batch_size * iters / dt
 
     p50_ms = None
     if measure_latency:
-        # default layout for the batch-1 shape
+        # default layout for the batch-1 shape; the latency loop blocks
+        # on every iteration's output, which consumes it — no chaining
+        # needed
         lat_fn = jax.jit(det.predict_quant_postprocessed) if quant \
-            else make_fn()
+            else jax.jit(make_fn())
         img1 = make_inputs(1)
         out = lat_fn(params, img1)
         jax.block_until_ready(out)
@@ -181,9 +222,8 @@ def bench_stream(batch_size: int = 128, iters: int = 30,
             p = "{}/{:06d}.png".format(d, i)
             cv2.imwrite(p, im)
             decode_paths.append(p)
-        fn = jax.jit(lambda p, x: det.postprocess_device(
-            det.predict(p, x)))
-        input_format = None
+        step = jax.jit(_chain(lambda p, x: det.postprocess_device(
+            det.predict(p, x))))
 
         def next_batch():
             images, _ = ndl.load_image_batch(
@@ -199,7 +239,7 @@ def bench_stream(batch_size: int = 128, iters: int = 30,
         # The negotiated layout wins only for device-resident inputs
         # (bench --mode inference) or hosts whose DMA engine tiles for
         # free.
-        fn = jax.jit(det.predict_raw_postprocessed)
+        step = jax.jit(_chain(det.predict_raw_postprocessed))
         # rotate distinct host buffers so no transfer is ever elided
         host = [rng.randint(0, 255,
                             (batch_size, cfg.image_height,
@@ -211,17 +251,19 @@ def bench_stream(batch_size: int = 128, iters: int = 30,
             i[0] += 1
             return jax.device_put(x)
 
+    import jax.numpy as jnp
     params = jax.device_put(params)
-    out = fn(params, next_batch())
-    jax.block_until_ready(out)
+    tok = jnp.float32(0)
+    out, tok = step(params, next_batch(), tok)
+    jax.block_until_ready(tok)
     for _ in range(3):
-        out = fn(params, next_batch())
-    jax.block_until_ready(out)
+        out, tok = step(params, next_batch(), tok)
+    jax.block_until_ready(tok)
 
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fn(params, next_batch())
-    jax.block_until_ready(out)
+        out, tok = step(params, next_batch(), tok)
+    jax.block_until_ready(tok)
     dt = time.perf_counter() - t0
     images_per_sec = batch_size * iters / dt
 
@@ -279,16 +321,19 @@ def bench_train(batch_size: int = 64, iters: int = 10,
     gt = np.zeros((batch_size, g, 4), np.float32)
     gt[:, :3] = [[300, 200, 60, 40], [600, 100, 80, 60],
                  [900, 300, 50, 70]]
-    args = (params, tx.init(params), imgs, jnp.asarray(gt),
+    data = (imgs, jnp.asarray(gt),
             jnp.asarray(np.zeros((batch_size, g), np.int32)),
             jnp.asarray(np.full((batch_size,), 3, np.int32)),
             jax.random.key(1))
-    out = step(*args)
-    jax.block_until_ready(out)
+    # chain params/opt_state through the loop: each dispatch consumes
+    # the previous one's updated state (like real training), so the
+    # backend's dropped-dispatch elision (CLAUDE.md) cannot collapse it
+    p, o, _ = step(params, tx.init(params), *data)
+    jax.block_until_ready(p)
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = step(*args)
-    jax.block_until_ready(out)
+        p, o, _ = step(p, o, *data)
+    jax.block_until_ready(p)
     dt = (time.perf_counter() - t0) / iters
     return {
         "metric": "train_images_per_sec_per_chip",

@@ -64,6 +64,13 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help='Calibrate activation ranges at this '
                         'percentile of |activation| instead of '
                         'abs-max (saturating clip, e.g. 99.99).')
+    p.add_argument('--device_postprocess', action='store_true',
+                   help='Fuse top-K + per-class NMS into the device '
+                        'program instead of host numpy '
+                        'filter_prediction (identical detections — '
+                        'tests/test_eval_dp.py pins mAP equality on '
+                        'the synthetic fixture); shrinks the misc '
+                        'phase and the device->host transfer.')
     return p
 
 
@@ -88,7 +95,8 @@ def quantize_on_split(det, imdb, params, calib_batches: int,
     return qparams
 
 
-def detect_all(det, imdb, params, batch_size: int, quant: bool = False):
+def detect_all(det, imdb, params, batch_size: int, quant: bool = False,
+               device_postprocess: bool = False):
     """Run detection over the whole split.
 
     When several devices are visible and the batch divides over them,
@@ -97,6 +105,17 @@ def detect_all(det, imdb, params, batch_size: int, quant: bool = False):
     batch-1 (eval.py:150-166); here a pod host can scan a split with
     every chip.
 
+    ``device_postprocess`` fuses top-K + per-class NMS into the device
+    program (ops/postprocess.py, tie-order parity pinned by
+    tests/test_postprocess.py) instead of the reference's host numpy
+    filter_prediction (nn_skeleton.py:696-734): the ``misc`` phase
+    shrinks to K=TOP_N rows of bookkeeping per image and the
+    device->host transfer drops from [B, ANCHORS, ...] to [B, K, ...].
+    Identical detections to the host path — IoU, ranking and
+    thresholds are scale-invariant, so filtering at model resolution
+    and rescaling the K survivors commutes with the reference's
+    rescale-then-filter order (eval.py:81-84).
+
     Returns (all_boxes[cls][img] = [[x1,y1,x2,y2,score],...],
     num_detection, timers dict).
     """
@@ -104,11 +123,17 @@ def detect_all(det, imdb, params, batch_size: int, quant: bool = False):
     import jax.numpy as jnp
 
     from squeezedet_tpu.ops.boxes import bbox_transform
+    from squeezedet_tpu.ops.postprocess import device_results_to_lists
     from squeezedet_tpu.utils.util import Timer
 
     # with quant=True, ``params`` is the int8 tree from
     # quantize_on_split and the forward runs the MXU int8 path
     base_predict = det.predict_quant_normalized if quant else det.predict
+    if device_postprocess:
+        def base_fn(p, x):
+            return det.postprocess_device(base_predict(p, x))
+    else:
+        base_fn = base_predict
     num_images = len(imdb.image_idx)
     all_boxes = [[[] for _ in range(num_images)]
                  for _ in range(imdb.num_classes)]
@@ -126,53 +151,80 @@ def detect_all(det, imdb, params, batch_size: int, quant: bool = False):
             mesh.devices.size))
         rep = replicated_sharding(mesh)
         params = jax.device_put(params, rep)
-        predict_jit = jax.jit(base_predict, in_shardings=(
+        predict_jit = jax.jit(base_fn, in_shardings=(
             rep, batch_sharding(mesh)))
 
         def predict(p, images):
             return predict_jit(p, shard_batch(mesh, images))
     elif len(jax.devices()) > 1:
         # batch-1 — the reference protocol (eval.py:150-166): instead of
-        # idling all but one chip, shard the image height over every
-        # device (spatial partitioning; XLA inserts the conv halo
-        # exchanges, tests/test_spatial.py pins the numerics).
+        # idling all but one chip, shard the image spatially over every
+        # device (XLA inserts the conv halo exchanges,
+        # tests/test_spatial.py pins the numerics).
         from squeezedet_tpu.parallel.mesh import (image_sharding,
-                                                  make_mesh_2d,
-                                                  replicated_sharding)
-        # int8 caveat: XLA's SPMD partitioner mis-types the zero-pad
-        # broadcast it inserts when a stage's height does NOT divide
-        # evenly over the spatial axis of an s8 conv (hlo_verifier
-        # RET_CHECK SameElementType).  Evenly-divisible geometries —
-        # e.g. the flagship 384/16 = 24 rows over 8 chips — partition
-        # fine, so instead of gating int8 out wholesale, the first call
-        # catches the compile failure and falls back to single-device
-        # only on the broken geometry.
-        smesh = make_mesh_2d(1, len(jax.devices()))
-        rep = replicated_sharding(smesh)
-        spatial_jit = jax.jit(base_predict, in_shardings=(
-            rep, image_sharding(smesh)), out_shardings=rep)
-        single_jit = jax.jit(base_predict)
-        host_params = params
-        params = jax.device_put(params, rep)
-        state = {'spatial': True}
-        print('Evaluating spatially over {} devices'.format(
-            smesh.devices.size))
+                                                  make_mesh_spatial,
+                                                  replicated_sharding,
+                                                  spatial_factors)
+        n_dev = len(jax.devices())
+        if quant:
+            # int8 caveat: XLA's SPMD partitioner mis-types the
+            # zero-pad broadcast it inserts when a stage dimension does
+            # NOT divide evenly over a spatial axis of an s8 conv
+            # (hlo_verifier RET_CHECK SameElementType).  Avoid the pad
+            # entirely: factor the devices into the largest height x
+            # width grid whose axes divide every conv stage — e.g. 96
+            # rows x 320 cols runs 2x4 over 8 devices where a 1-D
+            # 8-way height split would trip the bug.
+            n_h, n_w = spatial_factors(n_dev, det.cfg.image_height,
+                                       det.cfg.image_width)
+        else:
+            n_h, n_w = n_dev, 1  # uneven splits are fine outside int8
+        if n_h * n_w == 1:
+            print('int8 spatial partitioning unavailable for this '
+                  'geometry (no height x width split of {} devices '
+                  'divides every conv stage evenly); evaluating '
+                  'single-device'.format(n_dev))
+            predict = jax.jit(base_fn)
+        else:
+            smesh = make_mesh_spatial(n_h, n_w)
+            rep = replicated_sharding(smesh)
+            spatial_jit = jax.jit(base_fn, in_shardings=(
+                rep, image_sharding(smesh)), out_shardings=rep)
+            single_jit = jax.jit(base_fn)
+            host_params = params
+            params = jax.device_put(params, rep)
+            state = {'spatial': True, 'announced': False}
 
-        def predict(p, images):
-            if state['spatial']:
-                try:
-                    return spatial_jit(p, images)
-                except Exception as e:
-                    if 'SameElementType' not in str(e):
-                        raise
-                    print('int8 spatial partitioning unavailable for '
-                          'this geometry (stage heights must divide '
-                          'evenly over {} devices); evaluating '
-                          'single-device'.format(smesh.devices.size))
-                    state['spatial'] = False
-            return single_jit(host_params, images)
+            def predict(p, images):
+                if state['spatial']:
+                    try:
+                        out = spatial_jit(p, images)
+                    except jax.errors.JaxRuntimeError as e:
+                        # backstop for s8 stage geometries the
+                        # stride-16 divisibility precheck cannot model
+                        # (VALID-pool nets); a bf16 anomaly is not this
+                        # bug and must surface, not be mislabeled
+                        if not (quant and 'SameElementType' in str(e)):
+                            raise
+                        print('int8 spatial partitioning unavailable '
+                              'for this geometry; evaluating '
+                              'single-device')
+                        state['spatial'] = False
+                        # free the sharded replicas before the
+                        # single-device program allocates
+                        for leaf in jax.tree_util.tree_leaves(p):
+                            leaf.delete()
+                    else:
+                        if not state['announced']:
+                            # after the first success, so a fallback
+                            # log never shows both banners
+                            print('Evaluating spatially over {} '
+                                  'devices'.format(smesh.devices.size))
+                            state['announced'] = True
+                        return out
+                return single_jit(host_params, images)
     else:
-        predict = jax.jit(base_predict)
+        predict = jax.jit(base_fn)
 
     num_detection = 0.0
     imdb.reset_cursor()
@@ -182,12 +234,18 @@ def detect_all(det, imdb, params, batch_size: int, quant: bool = False):
         timers['im_read'].toc()
 
         timers['im_detect'].tic()
-        interp = predict(params, jnp.asarray(np.stack(images)))
+        out = predict(params, jnp.asarray(np.stack(images)))
         # np.array (copy): the boxes are rescaled in place below and
         # np.asarray views of jax arrays are read-only
-        det_boxes = np.array(interp.det_boxes)
-        det_probs = np.asarray(interp.det_probs)
-        det_class = np.asarray(interp.det_class)
+        if device_postprocess:
+            k_boxes = np.array(out[0])
+            k_probs = np.asarray(out[1])
+            k_class = np.asarray(out[2])
+            k_keep = np.asarray(out[3])
+        else:
+            det_boxes = np.array(out.det_boxes)
+            det_probs = np.asarray(out.det_probs)
+            det_class = np.asarray(out.det_class)
         timers['im_detect'].toc()
 
         timers['misc'].tic()
@@ -195,10 +253,17 @@ def detect_all(det, imdb, params, batch_size: int, quant: bool = False):
             i = start + j
             if i >= num_images:
                 break  # wrap-around tail of the last batch
-            det_boxes[j, :, 0::2] /= scales[j][0]
-            det_boxes[j, :, 1::2] /= scales[j][1]
-            boxes, probs, classes = det.filter_prediction(
-                det_boxes[j], det_probs[j], det_class[j])
+            if device_postprocess:
+                k_boxes[j, :, 0::2] /= scales[j][0]
+                k_boxes[j, :, 1::2] /= scales[j][1]
+                boxes, probs, classes = device_results_to_lists(
+                    k_boxes[j], k_probs[j], k_class[j], k_keep[j],
+                    imdb.num_classes)
+            else:
+                det_boxes[j, :, 0::2] /= scales[j][0]
+                det_boxes[j, :, 1::2] /= scales[j][1]
+                boxes, probs, classes = det.filter_prediction(
+                    det_boxes[j], det_probs[j], det_class[j])
             num_detection += len(boxes)
             for c, b, s in zip(classes, boxes, probs):
                 all_boxes[c][i].append(bbox_transform(b) + [s])
@@ -217,7 +282,7 @@ def eval_checkpoint(det, imdb, params, global_step, *, eval_dir,
                     batch_size=1, summary_writer=None,
                     skip_analysis=False, plot_pr=False,
                     quantize='', calib_batches=4,
-                    calib_percentile=None):
+                    calib_percentile=None, device_postprocess=False):
     """Score one checkpoint (reference eval_once, eval.py:48-134)."""
     if quantize:
         assert quantize == 'int8', quantize
@@ -225,9 +290,9 @@ def eval_checkpoint(det, imdb, params, global_step, *, eval_dir,
             calib_batches))
         params = quantize_on_split(det, imdb, params, calib_batches,
                                    percentile=calib_percentile)
-    all_boxes, num_detection, timers = detect_all(det, imdb, params,
-                                                  batch_size,
-                                                  quant=bool(quantize))
+    all_boxes, num_detection, timers = detect_all(
+        det, imdb, params, batch_size, quant=bool(quantize),
+        device_postprocess=device_postprocess)
     print('Evaluating detections...')
     aps, ap_names = imdb.evaluate_detections(eval_dir, global_step,
                                              all_boxes)
@@ -341,7 +406,8 @@ def main(argv=None):
                         plot_pr=args.plot_pr,
                         quantize=args.quantize,
                         calib_batches=args.calib_batches,
-                        calib_percentile=args.calib_percentile)
+                        calib_percentile=args.calib_percentile,
+                        device_postprocess=args.device_postprocess)
         if args.run_once:
             return
 

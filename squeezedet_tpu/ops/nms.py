@@ -25,8 +25,13 @@ def nms(boxes: np.ndarray, probs: np.ndarray, threshold: float) -> List[bool]:
     """Reference-semantics NMS over center-format boxes.
 
     Returns a keep mask aligned with the input order (util.py:56-76).
+
+    Equal scores walk LARGER input position first (stable ascending
+    sort, reversed) — the deterministic convention the device kernel
+    (postprocess.py) commits to; the reference's own equal-score order
+    is unspecified (numpy's default unstable quicksort).
     """
-    order = probs.argsort()[::-1]
+    order = probs.argsort(kind="stable")[::-1]
     keep = [True] * len(order)
     for i in range(len(order) - 1):
         ovps = batch_iou(boxes[order[i + 1:]], boxes[order[i]])
@@ -53,7 +58,12 @@ def filter_prediction_np(
     of the surviving candidates.
     """
     if 0 < top_n_detection < len(probs):
-        order = probs.argsort()[:-top_n_detection - 1:-1]
+        # stable ascending, reversed: ties rank LARGER anchor index
+        # first — the two-layer tie contract (DESIGN.md) the device
+        # kernel implements; with the default unstable argsort a
+        # boundary tie could select a different anchor than the device
+        # top_k and the two paths would disagree by a whole box
+        order = probs.argsort(kind="stable")[:-top_n_detection - 1:-1]
         probs = probs[order]
         boxes = boxes[order]
         cls_idx = cls_idx[order]

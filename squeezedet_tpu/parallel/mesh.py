@@ -66,21 +66,84 @@ def make_mesh_2d(n_data: int, n_spatial: int, devices=None,
                 axis_names)
 
 
+def make_mesh_spatial(n_h: int, n_w: int = 1, devices=None) -> Mesh:
+    """Pure spatial mesh: image height over ``spatial`` and width over
+    ``spatial_w`` (no data axis — the batch stays whole, e.g. the
+    reference's batch-1 eval protocol, eval.py:150-166).  XLA's SPMD
+    partitioner inserts halo exchanges along both axes at conv/pool
+    shard boundaries."""
+    if devices is None:
+        devices = jax.devices()
+    n = n_h * n_w
+    assert len(devices) >= n, (
+        "need {} devices for a {}x{} spatial mesh, have {}".format(
+            n, n_h, n_w, len(devices)))
+    return Mesh(np.array(devices[:n]).reshape(n_h, n_w),
+                ("spatial", "spatial_w"))
+
+
+def spatial_factors(n: int, height: int, width: int,
+                    stride: int = 16) -> tuple:
+    """Largest (n_h, n_w) with n_h * n_w <= n such that every
+    stride-halving conv stage divides evenly over both spatial axes
+    (H % (stride * n_h) == 0 and W % (stride * n_w) == 0 implies every
+    intermediate H/2^k, W/2^k does too, for nets whose downsamplings
+    are exact halvings to total ``stride``).
+
+    Used by the int8 eval path: XLA's SPMD partitioner mis-types the
+    zero-pad broadcast it inserts for UNEVEN splits of an s8 conv
+    (hlo_verifier RET_CHECK SameElementType), so int8 spatial eval only
+    runs on factorizations that never need padding.  Returns (1, 1)
+    when no multi-device split qualifies.  Ties prefer the larger n_h
+    (height halos were the round-3 default and the flagship geometry's
+    384 rows split that way).
+    """
+    best = (1, 1)
+    for n_h in range(1, n + 1):
+        if height % (stride * n_h):
+            continue
+        for n_w in range(1, n // n_h + 1):
+            if width % (stride * n_w):
+                continue
+            if n_h * n_w >= best[0] * best[1]:
+                best = (n_h, n_w)
+    return best
+
+
 def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
 def image_sharding(mesh: Mesh) -> NamedSharding:
-    """Sharding for NHWC image batches: batch over ``data`` and, when
-    the mesh has a ``spatial`` axis, height over ``spatial``."""
-    if "spatial" in mesh.axis_names:
-        return NamedSharding(mesh, P("data", "spatial"))
-    return NamedSharding(mesh, P("data"))
+    """Sharding for NHWC image batches: batch over ``data``, height
+    over ``spatial``, width over ``spatial_w`` — whichever axes the
+    mesh has."""
+    names = mesh.axis_names
+    return NamedSharding(mesh, P(
+        "data" if "data" in names else None,
+        "spatial" if "spatial" in names else None,
+        "spatial_w" if "spatial_w" in names else None))
 
 
 def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
     """Shard the leading (batch) dimension over the data axis."""
     return NamedSharding(mesh, P(axis_name))
+
+
+def stacked_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
+    """Sharding for [K, B, ...] scan-stacked batches
+    (--steps_per_dispatch): the scan axis replicated, the batch
+    dimension over ``data`` — matching the scanned train step's
+    in_shardings (trainer.make_train_step_device_scan)."""
+    return NamedSharding(mesh, P(None, axis_name))
+
+
+def stacked_image_sharding(mesh: Mesh) -> NamedSharding:
+    """[K, B, H, W, C] scan-stacked images: scan axis replicated, batch
+    over ``data``, height over ``spatial`` when the mesh has one."""
+    names = mesh.axis_names
+    return NamedSharding(mesh, P(
+        None, "data", "spatial" if "spatial" in names else None))
 
 
 def shard_batch(mesh: Mesh, tree, axis_name: str = "data"):

@@ -47,10 +47,12 @@ def test_detect_all_mesh_matches_single_device(kitti_root):
 
 def test_detect_all_quant_mesh_matches_single_device(kitti_root, capsys):
     """int8 eval over the 8-device mesh (the pod-host --quantize path)
-    must reproduce the single-device int8 scan.  At 96 rows the deepest
-    stage (96/16 = 6) does not divide over 8 devices, so the batch-1
-    reference run must take the graceful single-device fallback around
-    the XLA GSPMD s8 padding bug (eval.py detect_all)."""
+    must reproduce the data-parallel int8 scan.  At 96 rows a 1-D
+    8-way height split would trip the XLA GSPMD s8 padding bug
+    (96/16 = 6 rows don't divide over 8), so detect_all must instead
+    factor the devices into the 2x4 height x width grid that divides
+    every stage evenly and run genuinely spatially — the uneven
+    geometry no longer degrades to single-device."""
     from squeezedet_tpu.eval import quantize_on_split
 
     cfg1 = tiny_test_config(image_width=320, image_height=96,
@@ -62,7 +64,8 @@ def test_detect_all_quant_mesh_matches_single_device(kitti_root, capsys):
     ref_boxes, ref_n, _ = detect_all(det1, db1, qp, batch_size=1,
                                      quant=True)
     out = capsys.readouterr().out
-    assert "int8 spatial partitioning unavailable" in out
+    assert "Evaluating spatially over 8 devices" in out
+    assert "unavailable" not in out
 
     cfg8 = cfg1.replace(batch_size=8)
     det8 = get_model("squeezeDet", cfg8)
@@ -78,6 +81,60 @@ def test_detect_all_quant_mesh_matches_single_device(kitti_root, capsys):
             assert a.shape == b.shape, (c, i)
             if a.size:
                 np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-3)
+
+
+def test_spatial_factors():
+    """The int8 spatial factorization: largest height x width grid whose
+    axes divide every stride-16 conv stage; (1, 1) when nothing does."""
+    from squeezedet_tpu.parallel.mesh import spatial_factors
+
+    # flagship 1248x384 over 8 chips: clean 1-D height split
+    assert spatial_factors(8, 384, 1248) == (8, 1)
+    # 96 rows don't divide 8-way, but 2 (height) x 4 (width) does
+    assert spatial_factors(8, 96, 320) == (2, 4)
+    # 128 rows divide 8-way outright; height preferred on ties
+    assert spatial_factors(8, 128, 320) == (8, 1)
+    # prime stage extents with no divisor <= 8: single device
+    assert spatial_factors(8, 176, 208) == (1, 1)
+    # partial use: 5 of 8 devices beats 1
+    assert spatial_factors(8, 80, 208) == (5, 1)
+
+
+def test_detect_all_device_postprocess_matches_host(kitti_root):
+    """--device_postprocess (fused top-K + NMS in the device program)
+    must produce the host filter_prediction's exact detections, through
+    both the data-parallel and batch-1 spatial paths, including
+    anisotropic rescale to the original resolution (the device path
+    filters at model resolution THEN rescales; IoU/ranking are
+    scale-invariant so the order commutes with the reference's
+    rescale-then-filter, eval.py:81-84)."""
+    # 256x80 model on 320x96 images -> scales (0.8, 0.833): exercises
+    # the rescale-order commutation, not just scales == 1
+    cfg1 = tiny_test_config(image_width=256, image_height=80,
+                            batch_size=1)
+    det1 = get_model("squeezeDet", cfg1)
+    params, _, _ = det1.init(jax.random.key(0))
+    db1 = Kitti("val", kitti_root, cfg1)
+    host_boxes, host_n, _ = detect_all(det1, db1, params, batch_size=1)
+    dev_boxes, dev_n, _ = detect_all(det1, db1, params, batch_size=1,
+                                     device_postprocess=True)
+
+    cfg8 = cfg1.replace(batch_size=8)
+    det8 = get_model("squeezeDet", cfg8)
+    db8 = Kitti("val", kitti_root, cfg8)
+    dp_boxes, dp_n, _ = detect_all(det8, db8, params, batch_size=8,
+                                   device_postprocess=True)
+
+    assert dev_n == host_n == dp_n
+    for c in range(db1.num_classes):
+        for i in range(len(db1.image_idx)):
+            a = np.asarray(sorted(map(tuple, host_boxes[c][i])))
+            for got in (dev_boxes[c][i], dp_boxes[c][i]):
+                b = np.asarray(sorted(map(tuple, got)))
+                assert a.shape == b.shape, (c, i)
+                if a.size:
+                    np.testing.assert_allclose(b, a, rtol=1e-4,
+                                               atol=1e-3)
 
 
 def test_detect_all_quant_spatial_even_geometry(kitti_root, capsys):

@@ -64,7 +64,20 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument('--batch_window_ms', type=float, default=2.0,
                    help='How long the micro-batcher waits for more '
                         'requests after the first of a batch arrives.')
+    p.add_argument('--max_queue', type=int, default=None,
+                   help='Reject /detect with 503 when this many '
+                        'requests are already queued for the '
+                        'micro-batcher (bounds tail latency under '
+                        'overload). Default: 4x max_batch; 0 disables.')
     return p
+
+
+class Overloaded(RuntimeError):
+    """The micro-batch queue is at its limit; the caller should shed
+    the request (HTTP 503) instead of parking another handler thread —
+    an unbounded queue turns a load spike into unbounded tail latency,
+    the classic queueing failure the reference never had to face at
+    batch-of-one (demo.py)."""
 
 
 class MicroBatcher:
@@ -77,17 +90,26 @@ class MicroBatcher:
     Partial batches are padded with the first image (results of pad
     rows are dropped), so exactly one executable exists regardless of
     load.
+
+    ``max_queue`` bounds the number of not-yet-grouped requests:
+    beyond it, ``submit`` raises :class:`Overloaded` immediately
+    (reject-on-overload keeps p99 of ACCEPTED requests bounded by
+    ~(max_queue/batch + 1) device programs instead of growing with
+    offered load).  0 = unbounded.
     """
 
-    def __init__(self, run_batched, batch: int, window_ms: float):
+    def __init__(self, run_batched, batch: int, window_ms: float,
+                 max_queue: int = 0):
         import threading
         self._run = run_batched
         self.batch = batch
         self.window = window_ms / 1000.0
+        self.max_queue = max_queue
         self._cv = threading.Condition()
         self._pending = []  # [(image, slot dict, event)]
         self.batches_run = 0
         self.requests = 0
+        self.rejects = 0
         t = threading.Thread(target=self._worker, daemon=True)
         t.start()
 
@@ -96,6 +118,11 @@ class MicroBatcher:
         ev = threading.Event()
         slot = {}
         with self._cv:
+            if self.max_queue and len(self._pending) >= self.max_queue:
+                self.rejects += 1
+                raise Overloaded(
+                    "micro-batch queue full ({} pending)".format(
+                        len(self._pending)))
             self._pending.append((im, slot, ev))
             self.requests += 1
             self._cv.notify_all()
@@ -248,8 +275,18 @@ def make_handler(run, meta, prob_thresh):
             x_scale = im.shape[1] / float(w)
             y_scale = im.shape[0] / float(h)
             im = cv2.resize(im, (w, h))
-            boxes, probs, classes, keep = [
-                np.asarray(o) for o in run(im[None])]
+            try:
+                boxes, probs, classes, keep = [
+                    np.asarray(o) for o in run(im[None])]
+            except Overloaded:
+                self.send_response(503)
+                body = b'{"error": "overloaded, retry later"}'
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Retry-After", "1")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                return
             dt = (time.perf_counter() - t0) * 1000
             dets = []
             for k in range(boxes.shape[1]):
@@ -303,8 +340,11 @@ def main(argv=None):
     if args.max_batch > 1:
         # concurrency path: handler threads park in the micro-batcher,
         # which folds them into one batch-N device program
+        max_queue = args.max_queue if args.max_queue is not None \
+            else 4 * args.max_batch
         batcher = MicroBatcher(run, args.max_batch,
-                               args.batch_window_ms)
+                               args.batch_window_ms,
+                               max_queue=max_queue)
         handler = make_handler(lambda im1: batcher.submit(im1[0]),
                                meta, prob_thresh)
         server = http.server.ThreadingHTTPServer(

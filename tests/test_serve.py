@@ -139,6 +139,125 @@ def test_micro_batcher_propagates_errors():
         b.submit(np.zeros((8, 8, 3), np.uint8))
 
 
+def test_micro_batcher_overload_rejects():
+    """With max_queue set, a burst beyond the queue limit is shed
+    immediately with Overloaded instead of parking handler threads —
+    accepted requests keep a bounded wait."""
+    from squeezedet_tpu.serve import MicroBatcher, Overloaded
+
+    import time as _time
+
+    def run_batched(imgs):
+        _time.sleep(0.05)  # a slow device program under load
+        z = np.zeros((imgs.shape[0],), np.float32)
+        return (z, z, z, z)
+
+    b = MicroBatcher(run_batched, batch=2, window_ms=50.0, max_queue=2)
+    n = 10
+    outcomes = [None] * n
+
+    def worker(i):
+        try:
+            b.submit(np.zeros((4, 4, 3), np.uint8))
+            outcomes[i] = "ok"
+        except Overloaded:
+            outcomes[i] = "shed"
+
+    ts = [threading.Thread(target=worker, args=(i,)) for i in range(n)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=60)
+    assert outcomes.count("shed") >= 1, outcomes
+    assert outcomes.count("ok") >= 2, outcomes
+    assert b.rejects == outcomes.count("shed")
+    assert b.requests == outcomes.count("ok")
+
+
+def test_http_detect_load_p99_bounded_and_503(tmp_path):
+    """Load test of the serving path: N concurrent clients against a
+    micro-batched server with a bounded queue.  Every request either
+    completes (200) or is shed (503 + Retry-After); the p99 latency of
+    ACCEPTED requests stays bounded by the queue depth times the
+    device-program time instead of growing with offered load."""
+    from squeezedet_tpu.serve import MicroBatcher
+
+    import time as _time
+
+    cfg = tiny_test_config(image_width=96, image_height=96,
+                           batch_size=2)
+    det = get_model("squeezeDet", cfg)
+    params, _, _ = det.init(jax.random.key(0))
+    art = str(tmp_path / "artifact_load")
+    export_model(det, params, art, batch_size=2, platforms=("cpu",))
+    run, meta = _build_from_artifact(art, max_batch=2)
+    jax.block_until_ready(run(np.zeros((2, 96, 96, 3), np.uint8)))
+
+    t_run = []
+
+    def slowed(imgs):
+        t0 = _time.perf_counter()
+        out = run(imgs)
+        jax.block_until_ready(out)
+        t_run.append(_time.perf_counter() - t0)
+        _time.sleep(0.05)  # widen the program so the burst overlaps
+        return out
+
+    batcher = MicroBatcher(slowed, batch=2, window_ms=5.0, max_queue=2)
+    server = http.server.ThreadingHTTPServer(
+        ("127.0.0.1", 0),
+        make_handler(lambda im1: batcher.submit(im1[0]), meta,
+                     prob_thresh=0.0))
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    base = "http://127.0.0.1:{}".format(server.server_address[1])
+    rng = np.random.RandomState(0)
+    png = cv2.imencode(
+        ".png", rng.randint(0, 255, (96, 96, 3), np.uint8))[1].tobytes()
+
+    n = 16
+    codes = [None] * n
+    lat = [None] * n
+    retry_after = []
+    try:
+        def post(i):
+            req = urllib.request.Request(base + "/detect", data=png,
+                                         method="POST")
+            t0 = _time.perf_counter()
+            try:
+                with urllib.request.urlopen(req, timeout=300) as r:
+                    codes[i] = r.status
+            except urllib.error.HTTPError as e:
+                codes[i] = e.code
+                if e.code == 503:
+                    retry_after.append(e.headers.get("Retry-After"))
+            lat[i] = _time.perf_counter() - t0
+
+        ts = [threading.Thread(target=post, args=(i,))
+              for i in range(n)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(timeout=300)
+
+        assert set(codes) <= {200, 503}, codes
+        ok_lat = [l for c, l in zip(codes, lat) if c == 200]
+        assert len(ok_lat) >= 2, codes
+        # the 16-deep burst against a 2-deep queue must shed something
+        assert codes.count(503) >= 1, codes
+        assert all(r == "1" for r in retry_after)
+        assert batcher.rejects == codes.count(503)
+        # accepted p99 bound: at most (max_queue/batch + 1) programs
+        # queue ahead of an accepted request; allow generous headroom
+        # for CI scheduling on the shared CPU
+        program = max(max(t_run) + 0.05, 0.1)
+        assert max(ok_lat) < 10 * (batcher.max_queue / batcher.batch
+                                   + 2) * program, (max(ok_lat), program)
+    finally:
+        server.shutdown()
+        thread.join(timeout=10)
+
+
 def test_http_detect_micro_batched(tmp_path):
     """End-to-end: a batch-4 artifact behind the micro-batcher serves
     concurrent HTTP requests, folding them into shared programs."""

@@ -95,7 +95,8 @@ def make_train_step(det: Detector, tx, mesh=None, donate: bool = True):
 
 def make_train_step_device(det: Detector, tx, mesh=None,
                            donate: bool = True,
-                           uint8_ingest: bool = False):
+                           uint8_ingest: bool = False,
+                           device_augment: bool = False):
     """Train step with the anchor matcher fused into the device program.
 
     Signature: (params, opt_state, images, gt_boxes, gt_labels, num_gt,
@@ -106,6 +107,12 @@ def make_train_step_device(det: Detector, tx, mesh=None,
     ``uint8_ingest``: images arrive as raw uint8 and the mean
     subtraction (imdb.py:143-144) is fused into the device program —
     4x less host→device traffic and no f32 convert/relayout on entry.
+
+    ``device_augment``: images arrive as a raw uint8 CANVAS batch plus
+    a per-image ``aug`` row (imdb.read_batch_canvas), and the whole
+    drift/flip/resize/normalize pipeline runs inside this program
+    (device_pipeline.augment_resize_normalize) — the signature gains
+    ``aug`` after ``images``.
     """
     from squeezedet_tpu.data.device_pipeline import ingest_and_assign
     from squeezedet_tpu.optim import (grads_with_frozen_zeros,
@@ -113,11 +120,7 @@ def make_train_step_device(det: Detector, tx, mesh=None,
 
     mask = det._trainable_mask_cache(None)
 
-    def step_fn(params, opt_state, images, gt_boxes, gt_labels, num_gt,
-                rng):
-        images, targets = ingest_and_assign(det, images, gt_boxes,
-                                            gt_labels, num_gt,
-                                            uint8_ingest)
+    def _update(params, opt_state, images, targets, rng):
         trainable, frozen = partition_params(params, mask)
 
         def loss_fn(tp):
@@ -131,6 +134,21 @@ def make_train_step_device(det: Detector, tx, mesh=None,
         params = jax.tree.map(lambda p, u: p + u, params, updates)
         return params, opt_state, lb
 
+    if device_augment:
+        def step_fn(params, opt_state, images, aug, gt_boxes, gt_labels,
+                    num_gt, rng):
+            images, targets = ingest_and_assign(det, images, gt_boxes,
+                                                gt_labels, num_gt,
+                                                uint8_ingest, aug=aug)
+            return _update(params, opt_state, images, targets, rng)
+    else:
+        def step_fn(params, opt_state, images, gt_boxes, gt_labels,
+                    num_gt, rng):
+            images, targets = ingest_and_assign(det, images, gt_boxes,
+                                                gt_labels, num_gt,
+                                                uint8_ingest)
+            return _update(params, opt_state, images, targets, rng)
+
     kwargs = {}
     if donate:
         kwargs["donate_argnums"] = (0, 1)
@@ -138,7 +156,9 @@ def make_train_step_device(det: Detector, tx, mesh=None,
         rep = replicated_sharding(mesh)
         data = batch_sharding(mesh)
         imgs = image_sharding(mesh)  # + height over 'spatial' if present
-        kwargs["in_shardings"] = (rep, rep, imgs, data, data, data, rep)
+        n_data = 4 if device_augment else 3
+        kwargs["in_shardings"] = (rep, rep, imgs) + (data,) * n_data \
+            + (rep,)
         kwargs["out_shardings"] = (rep, rep, rep)
     return jax.jit(step_fn, **kwargs)
 
@@ -156,7 +176,8 @@ def _sampler_ckpt_path(train_dir: str, step: int) -> str:
 
 def make_train_step_device_scan(det: Detector, tx, k: int, mesh=None,
                                 donate: bool = True,
-                                uint8_ingest: bool = False):
+                                uint8_ingest: bool = False,
+                                device_augment: bool = False):
     """K device-matcher train steps fused into ONE device program via
     ``lax.scan`` (--steps_per_dispatch).
 
@@ -181,10 +202,14 @@ def make_train_step_device_scan(det: Detector, tx, k: int, mesh=None,
 
     def one_step(carry, xs):
         params, opt_state = carry
-        images, gt_boxes, gt_labels, num_gt, rng = xs
+        if device_augment:
+            images, aug, gt_boxes, gt_labels, num_gt, rng = xs
+        else:
+            images, gt_boxes, gt_labels, num_gt, rng = xs
+            aug = None
         images, targets = ingest_and_assign(det, images, gt_boxes,
                                             gt_labels, num_gt,
-                                            uint8_ingest)
+                                            uint8_ingest, aug=aug)
         trainable, frozen = partition_params(params, mask)
 
         def loss_fn(tp):
@@ -198,11 +223,9 @@ def make_train_step_device_scan(det: Detector, tx, k: int, mesh=None,
         params = jax.tree.map(lambda p, u: p + u, params, updates)
         return (params, opt_state), lb
 
-    def step_fn(params, opt_state, images, gt_boxes, gt_labels, num_gt,
-                step_rngs):
+    def step_fn(params, opt_state, *batch_and_rngs):
         (params, opt_state), lbs = jax.lax.scan(
-            one_step, (params, opt_state),
-            (images, gt_boxes, gt_labels, num_gt, step_rngs))
+            one_step, (params, opt_state), tuple(batch_and_rngs))
         return params, opt_state, lbs
 
     kwargs = {}
@@ -210,14 +233,13 @@ def make_train_step_device_scan(det: Detector, tx, k: int, mesh=None,
         kwargs["donate_argnums"] = (0, 1)
     if mesh is not None:
         rep = replicated_sharding(mesh)
-        if "spatial" in mesh.axis_names:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-            imgs = NamedSharding(mesh, P(None, "data", "spatial"))
-            data = NamedSharding(mesh, P(None, "data"))
-        else:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-            imgs = data = NamedSharding(mesh, P(None, "data"))
-        kwargs["in_shardings"] = (rep, rep, imgs, data, data, data, rep)
+        from squeezedet_tpu.parallel.mesh import (stacked_image_sharding,
+                                                  stacked_sharding)
+        imgs = stacked_image_sharding(mesh)
+        data = stacked_sharding(mesh)
+        n_data = 4 if device_augment else 3
+        kwargs["in_shardings"] = (rep, rep, imgs) + (data,) * n_data \
+            + (rep,)
         kwargs["out_shardings"] = (rep, rep, rep)
     return jax.jit(step_fn, **kwargs)
 
@@ -423,7 +445,8 @@ def train(det: Detector, imdb, *, train_dir: str, max_steps: int,
           steps_per_dispatch: int = 1,
           rng_impl: str = "",
           pallas_grads: bool = False,
-          max_to_keep: int = 5) -> TrainState:
+          max_to_keep: int = 5,
+          device_augment: bool = False) -> TrainState:
     """Full training loop (reference train.py:102-335).
 
     ``rng_impl``: PRNG implementation for the step/dropout keys, e.g.
@@ -453,6 +476,23 @@ def train(det: Detector, imdb, *, train_dir: str, max_steps: int,
                   "produced on this path — ignoring: {}. Use "
                   "--steps_per_dispatch 1 to capture them.".format(
                       steps_per_dispatch, ", ".join(skipped)))
+    if device_augment:
+        if not device_assign:
+            raise ValueError("--device_augment requires --device_assign "
+                             "(the canvas path feeds the in-graph "
+                             "matcher)")
+        if getattr(cfg, "use_native_loader", False):
+            raise ValueError("--device_augment replaces the host pixel "
+                             "pipeline; drop --native_loader")
+        skipped = [flag for flag, on in (
+            ("--summary_step viz images", bool(viz_step)),
+            ("--histogram_step", bool(histogram_step)),
+            ("--activation_summary", activation_summary)) if on]
+        if skipped:
+            print("WARNING: --device_augment keeps no model-resolution "
+                  "pixels on the host; skipping: {}.".format(
+                      ", ".join(skipped)))
+            viz_step, histogram_step, activation_summary = 0, 0, False
 
     rng = jax.random.key(seed, impl=rng_impl) if rng_impl \
         else jax.random.key(seed)
@@ -528,7 +568,8 @@ def train(det: Detector, imdb, *, train_dir: str, max_steps: int,
             layers.set_pallas_filter_grad("1x1")
     if device_assign:
         train_step = make_train_step_device(det, tx, mesh=mesh,
-                                            uint8_ingest=uint8_ingest)
+                                            uint8_ingest=uint8_ingest,
+                                            device_augment=device_augment)
     else:
         train_step = make_train_step(det, tx, mesh=mesh)
 
@@ -576,7 +617,8 @@ def train(det: Detector, imdb, *, train_dir: str, max_steps: int,
 
     loader = PrefetchLoader(imdb, device_targets=device_assign,
                             max_gt=max_gt,
-                            uint8_images=uint8_ingest).start()
+                            uint8_images=uint8_ingest,
+                            device_augment=device_augment).start()
 
     def _images_for_summary(images):
         """Viz/activation consumers expect mean-subtracted f32 pixels
@@ -588,10 +630,6 @@ def train(det: Detector, imdb, *, train_dir: str, max_steps: int,
     try:
         params, opt_state = state.params, state.opt_state
         multihost = jax.process_count() > 1
-        if steps_per_dispatch > 1 and multihost:
-            raise ValueError("--steps_per_dispatch > 1 is single-"
-                             "controller only (stack the global batch "
-                             "per host first)")
         if mesh is not None:
             if multihost:
                 # multi-controller: params/opt replicated as global
@@ -619,15 +657,32 @@ def train(det: Detector, imdb, *, train_dir: str, max_steps: int,
             # covered step; host-side viz/histograms are a K=1 concern
             # (use --steps_per_dispatch 1 when debugging visually).
             K = steps_per_dispatch
+            n_items = 5 if device_augment else 4
             scan_step = make_train_step_device_scan(
-                det, tx, K, mesh=mesh, uint8_ingest=uint8_ingest)
+                det, tx, K, mesh=mesh, uint8_ingest=uint8_ingest,
+                device_augment=device_augment)
+            if multihost:
+                # multi-controller scan: each host stacks its K LOCAL
+                # batch shards into [K, B_local, ...]; the global
+                # [K, B_global, ...] arrays keep the scan axis
+                # replicated and the batch over 'data', matching
+                # scan_step's in_shardings.
+                from squeezedet_tpu.parallel.mesh import (
+                    stacked_image_sharding, stacked_sharding)
+                _stacked_sh = [stacked_image_sharding(mesh)] + \
+                    [stacked_sharding(mesh)] * (n_items - 1)
             step = state.step
             while step < max_steps:
                 start_time = time.time()
                 if step + K <= max_steps:
                     batches = [loader.get() for _ in range(K)]
                     stacked = [np.stack([b[i] for b in batches])
-                               for i in range(4)]
+                               for i in range(n_items)]
+                    if multihost:
+                        stacked = [
+                            jax.make_array_from_process_local_data(
+                                sh, arr)
+                            for sh, arr in zip(_stacked_sh, stacked)]
                     rngs = []
                     for _ in range(K):
                         rng, r = jax.random.split(rng)
@@ -636,12 +691,18 @@ def train(det: Detector, imdb, *, train_dir: str, max_steps: int,
                         params, opt_state, *stacked, jnp.stack(rngs))
                     k_done = K
                 else:  # tail smaller than K: single-step dispatches
-                    images, gt_boxes, gt_labels, num_gt = loader.get()
+                    item = loader.get()
+                    images, rest = item[0], item[1:]
                     rng, r = jax.random.split(rng)
+                    if mesh is not None:
+                        batch = (_shard_images(mesh, images),) + \
+                            _shard_batch(mesh, tuple(
+                                jnp.asarray(x) for x in rest))
+                    else:
+                        batch = (jnp.asarray(images),) + tuple(
+                            jnp.asarray(x) for x in rest)
                     params, opt_state, lbs = train_step(
-                        params, opt_state, jnp.asarray(images),
-                        jnp.asarray(gt_boxes), jnp.asarray(gt_labels),
-                        jnp.asarray(num_gt), r)
+                        params, opt_state, *batch, r)
                     k_done = 1
                 covered = range(step, step + k_done)
                 step += k_done
@@ -667,22 +728,22 @@ def train(det: Detector, imdb, *, train_dir: str, max_steps: int,
             start_time = time.time()
             rng, step_rng = jax.random.split(rng)
             if device_assign:
-                images, gt_boxes, gt_labels, num_gt = loader.get()
+                # 4-tuple (images, gt, labels, num_gt), or 5-tuple with
+                # the canvas + aug row under --device_augment.
                 # summary/viz/histogram consumers read the host-local
                 # copies: a batch-sharded global array spans other
                 # processes' devices and cannot be np.asarray'd
-                host_batch = (images, gt_boxes, gt_labels, num_gt)
+                host_batch = loader.get()
+                images, rest = host_batch[0], host_batch[1:]
                 if mesh is not None:
                     # images get the (data[, spatial]) placement the
                     # step's in_shardings expect; anchor-space targets
-                    # shard over 'data' only
+                    # (and the aug rows) shard over 'data' only
                     batch = (_shard_images(mesh, images),) + _shard_batch(
-                        mesh, (jnp.asarray(gt_boxes),
-                               jnp.asarray(gt_labels),
-                               jnp.asarray(num_gt)))
+                        mesh, tuple(jnp.asarray(x) for x in rest))
                 else:
-                    batch = (jnp.asarray(images), jnp.asarray(gt_boxes),
-                             jnp.asarray(gt_labels), jnp.asarray(num_gt))
+                    batch = (jnp.asarray(images),) + tuple(
+                        jnp.asarray(x) for x in rest)
                 params, opt_state, lb = train_step(
                     params, opt_state, *batch, step_rng)
                 targets = None

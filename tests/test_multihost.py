@@ -137,6 +137,24 @@ with open(marker, "w") as f:
 """
 
 
+_SCAN_WORKER = r"""
+import sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 2)
+data_path, train_dir, marker, k = sys.argv[1:5]
+from squeezedet_tpu.train import main
+main(['--data_path', data_path, '--image_set', 'train',
+      '--train_dir', train_dir, '--image_width', '96',
+      '--image_height', '96', '--batch_size', '2', '--max_steps', '4',
+      '--checkpoint_step', '4', '--learning_rate', '0.001',
+      '--num_devices', '4', '--device_assign', '--seed', '0',
+      '--steps_per_dispatch', k])
+with open(marker, "w") as f:
+    f.write("SCAN_OK {}".format(jax.process_index()))
+"""
+
+
 def _run_pair(worker_src, tmp_path, worker_args=None, extra_env=None):
     """Launch two coordinated worker subprocesses and collect their
     marker files.  ``worker_args(i, marker)`` overrides the argv tail
@@ -219,3 +237,46 @@ def test_two_process_cli_train(tmp_path):
     events = [f for f in os.listdir(train_dir)
               if f.startswith("events.out")]
     assert len(events) == 1, events
+
+
+@pytest.mark.slow
+def test_two_process_scanned_dispatch_matches_single(tmp_path):
+    """--steps_per_dispatch 4 under TWO controllers (each host stacks
+    its K local batch shards into the global [K, B, ...] scan arrays)
+    must land on the same final params as four K=1 dispatches fed the
+    same seed and data stream — the scanned train mode is no longer
+    single-controller-only.  Equality is to float rounding (the
+    scanned and unrolled programs compile to different fusion /
+    accumulation orders), the same standard as the single-controller
+    test_scan_dispatch_matches_single_steps."""
+    import numpy as np
+
+    from synth_kitti import make_synth_kitti
+    data = str(tmp_path / "kitti")
+    make_synth_kitti(data, num_images=6, width=96, height=96)
+
+    trees = {}
+    for k in ("1", "4"):
+        train_dir = str(tmp_path / ("train_k" + k))
+        markers = _run_pair(
+            _SCAN_WORKER, tmp_path,
+            worker_args=lambda i, marker, k=k: [data, train_dir,
+                                               marker, k],
+            extra_env=lambda i, coord: {
+                "JAX_COORDINATOR_ADDRESS": coord,
+                "JAX_NUM_PROCESSES": "2",
+                "JAX_PROCESS_ID": str(i)})
+        for i in range(2):
+            assert "SCAN_OK" in markers[i]
+        import orbax.checkpoint as ocp
+        # checkpoints are named by the last covered step (max_steps-1)
+        trees[k] = ocp.StandardCheckpointer().restore(
+            os.path.join(train_dir, "model.ckpt-3"))
+
+    import jax
+    leaves1 = jax.tree_util.tree_leaves(trees["1"])
+    leaves4 = jax.tree_util.tree_leaves(trees["4"])
+    assert len(leaves1) == len(leaves4)
+    for a, b in zip(leaves1, leaves4):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-6)

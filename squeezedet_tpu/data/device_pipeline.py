@@ -58,27 +58,74 @@ def resize_images(images, height: int, width: int):
                             antialias=False)
 
 
-def random_flip(images, gt_boxes, rng):
-    """Batched 50% horizontal flip (imdb.py:180-182).
+def augment_resize_normalize(canvas_u8, aug, height: int, width: int,
+                             bgr_means, dtype=jnp.float32):
+    """Fused on-device drift crop + horizontal flip + resize +
+    mean-subtract (the reference's per-image cv2 hot loop,
+    imdb.py:141-193, as ONE batched device program).
 
-    images: [B, H, W, C]; gt_boxes: [B, G, 4] center-format.
-    Box update: cx' = (W - 1) - cx.
+    The RNG stays host-side: ``aug[:, 0:3] = (dx, dy, flip)`` are the
+    BatchPlan's pre-drawn per-image decisions (reference draw order
+    preserved, imdb.py:161-180), and ``aug[:, 3:5] = (ow', oh')`` are
+    the post-drift source extents (orig - drift); the real image
+    extents are recovered as (ow' + dx, oh' + dy).  The stream is
+    therefore the same deterministic function of the seed as the host
+    path — only the pixel work moves on device.
 
-    Note: flips at MODEL resolution; the host path flips before the
-    resize (cx' = (orig_w - 1 - cx) * x_scale), which differs by a
-    sub-pixel (1 - x_scale)/2 offset.  A training pipeline mixing the
-    two conventions would see that as label noise — the shipped train
-    paths do all augmentation host-side (imdb._augment).
+    TPU-native formulation: the crop/flip/resize composition is a
+    per-image AFFINE source mapping, so the bilinear resample is
+    separable into per-image weight matrices contracted on the MXU —
+        out = Wy[b] @ (canvas[b] - mean) @ Wx[b]^T
+    — no gathers, no dynamic shapes.  Boundary semantics match the
+    host exactly: sample positions are clamped at the shifted-canvas
+    border (cv2.resize border replicate), and out-of-image samples
+    from a negative drift contribute the pad value, which is 0 in
+    mean-subtracted space (the reference zero-pads AFTER the mean
+    subtraction, imdb.py:164-177) — such positions simply receive no
+    weight.  Canvas area beyond each image's real extent is masked to
+    0 so batch padding never leaks through clamped samples.
+
+    Args:
+      canvas_u8: [B, H0, W0, 3] raw uint8 batch canvas (each image in
+        the top-left corner; H0, W0 = dataset max extents).
+      aug: [B, 5] f32 rows (dx, dy, flip, ow', oh').
+    Returns mean-subtracted [B, height, width, 3] in ``dtype``.
     """
-    b = images.shape[0]
-    w = images.shape[2]
-    flip = jax.random.bernoulli(rng, 0.5, (b,))
-    flipped_im = jnp.where(flip[:, None, None, None],
-                           images[:, :, ::-1, :], images)
-    cx = jnp.where(flip[:, None], (w - 1.0) - gt_boxes[..., 0],
-                   gt_boxes[..., 0])
-    boxes = gt_boxes.at[..., 0].set(cx)
-    return flipped_im, boxes
+    b, h0, w0, _ = canvas_u8.shape
+    dx, dy, flip = aug[:, 0], aug[:, 1], aug[:, 2]
+    ow, oh = aug[:, 3], aug[:, 4]
+
+    def weights(out_n, src_n, extent, off, flip_flag):
+        # cv2.resize sample positions in post-drift space, clamped at
+        # the shifted-canvas border like cv2's border replicate
+        o = jnp.arange(out_n, dtype=jnp.float32)
+        s = (o + 0.5) * extent / out_n - 0.5
+        s = jnp.clip(s, 0.0, extent - 1.0)
+        if flip_flag is not None:
+            # bilinear commutes with reflection, so flipping the
+            # sample position == flipping the pixels (imdb.py:180-182)
+            s = jnp.where(flip_flag > 0, extent - 1.0 - s, s)
+        src = s + off  # position in the original image
+        cols = jnp.arange(src_n, dtype=jnp.float32)
+        # src < 0 (pad region of a negative drift) matches no column
+        # -> contributes 0, the mean-subtracted pad value
+        return jnp.maximum(0.0, 1.0 - jnp.abs(src[:, None] -
+                                              cols[None, :]))
+
+    wy = jax.vmap(
+        lambda e, off: weights(height, h0, e, off, None))(oh, dy)
+    wx = jax.vmap(
+        lambda e, off, f: weights(width, w0, e, off, f))(ow, dx, flip)
+
+    means = jnp.asarray(bgr_means, jnp.float32).reshape(1, 1, 1, 3)
+    x = canvas_u8.astype(jnp.float32) - means
+    h_real, w_real = oh + dy, ow + dx
+    ymask = jnp.arange(h0)[None, :] < h_real[:, None]
+    xmask = jnp.arange(w0)[None, :] < w_real[:, None]
+    x = x * ymask[:, :, None, None] * xmask[:, None, :, None]
+    out = jnp.einsum("bhH,bHWc->bhWc", wy, x)
+    out = jnp.einsum("bwW,bhWc->bhwc", wx, out)
+    return out.astype(dtype)
 
 
 def _iou_anchors(anchors, box):
@@ -157,14 +204,19 @@ def assign_anchors_device(anchors, gt_boxes, gt_labels, num_gt,
 
 
 def ingest_and_assign(det, images, gt_boxes, gt_labels, num_gt,
-                      uint8_ingest: bool):
-    """The train-step ingest: optional fused uint8 normalization plus
-    the in-graph anchor matcher.  One home for the sequence shared by
-    the single-step and scanned train steps and the histogram grad fn
-    (trainer.py) — the ingest and freeze semantics must never drift
-    between them.  Returns (images, Targets)."""
+                      uint8_ingest: bool, aug=None):
+    """The train-step ingest: optional fused uint8 normalization (or,
+    with ``aug``, the full on-device augment+resize program over a raw
+    canvas batch) plus the in-graph anchor matcher.  One home for the
+    sequence shared by the single-step and scanned train steps and the
+    histogram grad fn (trainer.py) — the ingest and freeze semantics
+    must never drift between them.  Returns (images, Targets)."""
     cfg = det.cfg
-    if uint8_ingest:
+    if aug is not None:
+        images = augment_resize_normalize(
+            images, aug, cfg.image_height, cfg.image_width,
+            cfg.bgr_means, jnp.dtype(cfg.compute_dtype))
+    elif uint8_ingest:
         images = normalize_images(images, cfg.bgr_means,
                                   jnp.dtype(cfg.compute_dtype))
     targets = assign_anchors_device(

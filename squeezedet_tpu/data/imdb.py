@@ -489,6 +489,73 @@ class Imdb:
 
         return images, gt_out, labels_out, num_gt
 
+    def canvas_size(self) -> Tuple[int, int]:
+        """(H0, W0) = max image extents over the dataset, from header
+        reads (cached).  The on-device augmentation path ships every
+        image in a fixed [H0, W0] canvas so the jitted program keeps
+        static shapes across KITTI's slightly-varying native sizes."""
+        if not hasattr(self, "_canvas_hw"):
+            h0 = w0 = 0
+            for idx in self._image_idx:
+                w, h = self._image_size(idx)
+                h0, w0 = max(h0, h), max(w0, w)
+            self._canvas_hw = (h0, w0)
+        return self._canvas_hw
+
+    def read_batch_canvas(self, shuffle: bool = True, max_gt: int = 48,
+                          plan: Optional[BatchPlan] = None):
+        """Raw-canvas batch for fully on-device augmentation.
+
+        The host does ONLY decode + GT box math (the reference's cv2
+        crop/flip/resize hot loop, imdb.py:141-193, runs inside the
+        jitted train step — device_pipeline.augment_resize_normalize);
+        augmentation decisions come pre-drawn from the BatchPlan so the
+        input stream is the same deterministic function of the seed as
+        the host-pixel paths.
+
+        Returns (canvas [B, H0, W0, 3] uint8, aug [B, 5] f32 rows
+        (dx, dy, flip, ow', oh'), gt_boxes [B, max_gt, 4] f32 at MODEL
+        resolution, gt_labels [B, max_gt] i32, num_gt [B] i32).
+        """
+        import cv2
+        mc = self.mc
+        if plan is None:
+            plan = self.draw_batch_plan(shuffle)
+        batch_idx = plan.batch_idx
+
+        b = len(batch_idx)
+        h0, w0 = self.canvas_size()
+        canvas = np.zeros((b, h0, w0, 3), np.uint8)
+        aug = np.zeros((b, 5), np.float32)
+        gt_out = np.zeros((b, max_gt, 4), np.float32)
+        labels_out = np.zeros((b, max_gt), np.int32)
+        num_gt = np.zeros((b,), np.int32)
+        for bi, idx in enumerate(batch_idx):
+            im = cv2.imread(self._image_path_at(idx))
+            canvas[bi, :im.shape[0], :im.shape[1]] = im
+            orig_h, orig_w = float(im.shape[0]), float(im.shape[1])
+            labels = [box[4] for box in self._rois[idx][:]]
+            gt_bbox = self._gt_boxes_for(idx)
+
+            dxdy, flip = (0, 0), False
+            if mc.data_augmentation:
+                _, gt_bbox, orig_w, orig_h, dxdy, flip = self._augment(
+                    gt_bbox, orig_w, orig_h, im=None,
+                    plan_aug=plan.augment[bi])
+            # orig_w/orig_h are now the POST-drift extents (ow', oh');
+            # the real image extents are recovered as ow' + dx, oh' + dy
+            aug[bi] = (dxdy[0], dxdy[1], float(flip), orig_w, orig_h)
+
+            gt_bbox[:, 0::2] *= mc.image_width / orig_w
+            gt_bbox[:, 1::2] *= mc.image_height / orig_h
+            if len(gt_bbox) > max_gt:
+                self._warn_truncated_gt(idx, len(gt_bbox), max_gt)
+            n = min(len(gt_bbox), max_gt)
+            gt_out[bi, :n] = gt_bbox[:n]
+            labels_out[bi, :n] = np.asarray(labels[:n], np.int32)
+            num_gt[bi] = n
+        return canvas, aug, gt_out, labels_out, num_gt
+
     def _read_raw_targets_native(self, ndl, plan, max_gt, gt_out,
                                  labels_out, num_gt):
         """Native-loader variant of read_batch_raw_targets: augmentation

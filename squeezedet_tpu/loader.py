@@ -36,13 +36,15 @@ class PrefetchLoader:
     def __init__(self, imdb, *, num_threads: Optional[int] = None,
                  capacity: Optional[int] = None, shuffle: bool = True,
                  device_targets: bool = False, max_gt: int = 48,
-                 uint8_images: bool = False):
+                 uint8_images: bool = False,
+                 device_augment: bool = False):
         mc = imdb.mc
         self._imdb = imdb
         self._shuffle = shuffle
         self._device_targets = device_targets
         self._max_gt = max_gt
         self._uint8_images = uint8_images
+        self._device_augment = device_augment
         self._num_anchors = mc.anchors
         self._num_classes = mc.classes
         self._queue: queue.Queue = queue.Queue(
@@ -72,7 +74,13 @@ class PrefetchLoader:
         try:
             while not self._stop.is_set():
                 plan = self._imdb.draw_batch_plan(shuffle=self._shuffle)
-                if self._device_targets:
+                if self._device_augment:
+                    # raw uint8 canvas + per-image aug rows; the whole
+                    # pixel pipeline (drift/flip/resize/normalize) runs
+                    # inside the jitted train step
+                    item = self._imdb.read_batch_canvas(
+                        max_gt=self._max_gt, plan=plan)
+                elif self._device_targets:
                     # raw padded gt; the matcher runs inside the jitted
                     # train step (device_pipeline.assign_anchors_device)
                     item = self._imdb.read_batch_raw_targets(

@@ -91,6 +91,18 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         'host-to-device traffic; equivalent to the f32 '
                         'path within bf16 resolution). Requires '
                         '--device_assign.')
+    p.add_argument('--device_augment', action='store_true',
+                   help='Run the WHOLE augmentation pixel pipeline '
+                        '(drift crop, flip, resize, mean subtraction) '
+                        'inside the jitted train step as per-image '
+                        'bilinear weight matmuls; the host only decodes '
+                        'raw uint8 frames and does the GT box math. '
+                        'The (dx, dy, flip) draws stay host-side in the '
+                        'BatchPlan, so the input stream is the same '
+                        'deterministic function of the seed as the '
+                        'host-pixel path (parity pinned by '
+                        'tests/test_device_pipeline.py). Requires '
+                        '--device_assign.')
     p.add_argument('--steps_per_dispatch', type=int, default=1,
                    help='Fuse K train steps into one scanned device '
                         'program (amortizes dispatch/transfer overhead '
@@ -227,7 +239,8 @@ def main(argv=None):
           uint8_ingest=args.uint8_ingest,
           steps_per_dispatch=args.steps_per_dispatch,
           rng_impl=args.rng_impl, pallas_grads=args.pallas_grads,
-          max_to_keep=args.max_to_keep)
+          max_to_keep=args.max_to_keep,
+          device_augment=args.device_augment)
     if writer is not None:
         writer.close()
 

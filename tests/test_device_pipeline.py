@@ -6,9 +6,8 @@ import numpy as np
 import pytest
 
 from squeezedet_tpu.config import tiny_test_config
-from squeezedet_tpu.data.device_pipeline import (assign_anchors_device,
-                                                 normalize_images,
-                                                 random_flip)
+from squeezedet_tpu.data.device_pipeline import (
+    assign_anchors_device, augment_resize_normalize, normalize_images)
 from squeezedet_tpu.data.imdb import assign_anchors
 from squeezedet_tpu.data.targets import dense_targets_from_batch
 
@@ -35,27 +34,65 @@ def test_normalize_images_matches_host(cfg, rng):
     np.testing.assert_allclose(got, want, atol=1e-5)
 
 
-def test_random_flip_updates_boxes(cfg):
-    imgs = jnp.asarray(np.arange(2 * 4 * 6 * 1, dtype=np.float32)
-                       .reshape(2, 4, 6, 1))
-    boxes = jnp.asarray(np.array([[[1.0, 2.0, 2.0, 2.0]],
-                                  [[1.0, 2.0, 2.0, 2.0]]]))
-    # find an rng where exactly one image flips
-    for seed in range(20):
-        out, b = random_flip(imgs, boxes, jax.random.key(seed))
-        flipped = [not np.allclose(np.asarray(out[i]), np.asarray(imgs[i]))
-                   for i in range(2)]
-        if flipped[0] != flipped[1]:
+def test_device_augment_matches_host_path(tmp_path_factory):
+    """The fused on-device drift/flip/resize program must reproduce the
+    host cv2 pipeline pixel-for-pixel (float rounding only) and return
+    the identical GT tensors, given the SAME BatchPlan — the stream
+    stays a deterministic function of the seed with only the pixel
+    work moved on device."""
+    from synth_kitti import make_synth_kitti
+
+    from squeezedet_tpu.data import Kitti
+
+    root = str(tmp_path_factory.mktemp("kitti_devaug"))
+    make_synth_kitti(root, num_images=10, width=320, height=96,
+                     image_set="train", seed=5)
+    mcfg = tiny_test_config(image_width=256, image_height=80,
+                            batch_size=6).replace(
+        data_augmentation=True, drift_x=40, drift_y=20)
+    db = Kitti("train", root, mcfg)
+
+    # keep drawing until the batch exercises both flip states and a
+    # negative and positive drift
+    for _ in range(8):
+        plan = db.draw_batch_plan(True)
+        flips = {f for (_, f) in plan.augment}
+        dxs = [d for ((d, _), _) in plan.augment]
+        if flips == {True, False} and min(dxs) < 0 < max(dxs):
             break
-    else:
-        pytest.fail("no asymmetric flip found")
-    i_flip = flipped.index(True)
-    i_keep = flipped.index(False)
-    np.testing.assert_allclose(np.asarray(out[i_flip]),
-                               np.asarray(imgs[i_flip])[:, ::-1, :])
-    # cx' = (W-1) - cx = 5 - 1 = 4 for the flipped image only
-    assert float(b[i_flip, 0, 0]) == 4.0
-    assert float(b[i_keep, 0, 0]) == 1.0
+
+    host_imgs, host_gt, host_lab, host_n = db.read_batch_raw_targets(
+        plan=plan)
+    canvas, aug, gt, lab, n = db.read_batch_canvas(plan=plan)
+
+    got = np.asarray(augment_resize_normalize(
+        jnp.asarray(canvas), jnp.asarray(aug), 80, 256,
+        mcfg.bgr_means))
+    assert np.abs(got - host_imgs).max() < 2.0
+    assert np.abs(got - host_imgs).mean() < 0.1
+    np.testing.assert_allclose(gt, host_gt, rtol=1e-5, atol=1e-4)
+    np.testing.assert_array_equal(lab, host_lab)
+    np.testing.assert_array_equal(n, host_n)
+
+
+def test_device_augment_canvas_padding_inert():
+    """Garbage in the canvas beyond an image's real extent (batch
+    padding for smaller-than-canvas images) must not leak into the
+    output: a padded canvas and a tight canvas give identical
+    results."""
+    rng = np.random.RandomState(3)
+    im = rng.randint(0, 255, (60, 100, 3)).astype(np.uint8)
+    tight = im[None]
+    padded = np.full((1, 96, 320, 3), 255, np.uint8)
+    padded[0, :60, :100] = im
+    # drift dx=-7, dy=4, flip on: ow' = 107, oh' = 56
+    aug = np.array([[-7.0, 4.0, 1.0, 107.0, 56.0]], np.float32)
+    means = (103.939, 116.779, 123.68)
+    a = np.asarray(augment_resize_normalize(
+        jnp.asarray(tight), jnp.asarray(aug), 48, 128, means))
+    b = np.asarray(augment_resize_normalize(
+        jnp.asarray(padded), jnp.asarray(aug), 48, 128, means))
+    np.testing.assert_allclose(b, a, atol=1e-4)
 
 
 def test_device_assignment_matches_numpy(cfg, rng):

@@ -719,6 +719,31 @@ def test_train_loop_steps_per_dispatch(kitti_root, cfg, tmp_path):
                    device_assign=True, steps_per_dispatch=2)
     assert state2.step == 6
 
+def test_train_loop_device_augment(kitti_root, tmp_path):
+    """Full train loop with the on-device augmentation pipeline: raw
+    uint8 canvases + BatchPlan aug rows feed the jitted
+    drift/flip/resize/normalize program (VERDICT r3 item 2); runs
+    through both the K=1 and scanned loops, over the mesh, and
+    checkpoints/resumes normally."""
+    aug_cfg = tiny_test_config(image_width=96, image_height=96,
+                               batch_size=2).replace(
+        data_augmentation=True, drift_x=20, drift_y=20)
+    det = get_model("squeezeDet", aug_cfg)
+    db = Kitti("train", kitti_root, aug_cfg,
+               rng=np.random.RandomState(0))
+    train_dir = str(tmp_path / "train")
+    state = train(det, db, train_dir=train_dir, max_steps=3,
+                  checkpoint_step=2, summary_step=1000, log_every=1,
+                  device_assign=True, device_augment=True)
+    assert state.step == 3
+    # scanned dispatches compose with the canvas path; resume continues
+    state2 = train(det, db, train_dir=train_dir, max_steps=5,
+                   checkpoint_step=10, summary_step=1000, log_every=1,
+                   device_assign=True, device_augment=True,
+                   steps_per_dispatch=2)
+    assert state2.step == 5
+
+
 def test_loader_stream_deterministic_and_exact_resume(kitti_root, cfg):
     """Multi-threaded prefetch: (a) the batch stream is a deterministic
     function of the seed for any thread count (batch-atomic RNG draws +

@@ -116,6 +116,9 @@ class ModelConfig:
     debug_mode: bool = False
     num_thread: int = 4
     queue_capacity: int = 100
+    # Byte budget (MiB) for the decoded-image LRU in Imdb._imread;
+    # 0 disables it (reference behavior: re-decode every epoch).
+    image_cache_mb: int = 0
 
     # TPU-specific knobs (no reference equivalent) --------------------------------
     # Compute dtype for conv/matmul paths; params stay float32.

@@ -23,6 +23,7 @@ import os
 import random
 import shutil
 import threading
+from collections import OrderedDict
 from dataclasses import dataclass
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -71,6 +72,45 @@ class Imdb:
         self._draw_seq = 0
         self._lock = threading.Lock()
         self._size_cache: Dict[str, Tuple[int, int]] = {}
+
+        # bounded decoded-image cache (mc.image_cache_mb, 0 = off)
+        self._image_cache: "OrderedDict[str, np.ndarray]" = OrderedDict()
+        self._image_cache_bytes = 0
+        self._image_cache_lock = threading.Lock()
+
+    def _imread(self, idx: str) -> np.ndarray:
+        """Decode the image for ``idx`` (BGR uint8, like cv2.imread).
+
+        When ``mc.image_cache_mb > 0`` decoded frames are kept in a
+        byte-bounded LRU so re-visits skip the PNG/JPEG decode — the
+        dominant per-step host cost on single-core hosts once
+        augmentation runs on device (the reference re-decodes every
+        epoch, imdb.py:141).  Cached arrays are returned read-only and
+        shared across batches; every consumer in this module either
+        copies (astype/canvas assignment) or reads through cv2, so the
+        cache is never aliased by a mutation.  The C++ native loader
+        has its own decode path and bypasses this cache.
+        """
+        import cv2
+        budget = int(getattr(self.mc, "image_cache_mb", 0)) << 20
+        if budget <= 0:
+            return cv2.imread(self._image_path_at(idx))
+        with self._image_cache_lock:
+            im = self._image_cache.get(idx)
+            if im is not None:
+                self._image_cache.move_to_end(idx)
+                return im
+        im = cv2.imread(self._image_path_at(idx))
+        im.setflags(write=False)
+        with self._image_cache_lock:
+            if idx not in self._image_cache:
+                self._image_cache[idx] = im
+                self._image_cache_bytes += im.nbytes
+            while (self._image_cache_bytes > budget
+                   and len(self._image_cache) > 1):
+                _, old = self._image_cache.popitem(last=False)
+                self._image_cache_bytes -= old.nbytes
+        return im
 
     def _image_size(self, idx: str) -> Tuple[int, int]:
         """(width, height) from the image header without a full decode."""
@@ -359,7 +399,7 @@ class Imdb:
 
         images, scales = [], []
         for i in batch_idx:
-            im = cv2.imread(self._image_path_at(i)).astype(np.float32)
+            im = self._imread(i).astype(np.float32)
             im -= mc.bgr_means_array()
             orig_h, orig_w, _ = [float(v) for v in im.shape]
             im = cv2.resize(im, (mc.image_width, mc.image_height))
@@ -390,7 +430,7 @@ class Imdb:
         debug_stats = AssignStats() if mc.debug_mode else None
 
         for bi, idx in enumerate(batch_idx):
-            im = cv2.imread(self._image_path_at(idx)).astype(np.float32)
+            im = self._imread(idx).astype(np.float32)
             im -= mc.bgr_means_array()
             orig_h, orig_w, _ = [float(v) for v in im.shape]
 
@@ -463,7 +503,7 @@ class Imdb:
         images = np.zeros((b, mc.image_height, mc.image_width, 3),
                           np.uint8 if uint8_images else np.float32)
         for bi, idx in enumerate(batch_idx):
-            im = cv2.imread(self._image_path_at(idx))
+            im = self._imread(idx)
             if not uint8_images:
                 im = im.astype(np.float32)
                 im -= mc.bgr_means_array()
@@ -531,7 +571,7 @@ class Imdb:
         labels_out = np.zeros((b, max_gt), np.int32)
         num_gt = np.zeros((b,), np.int32)
         for bi, idx in enumerate(batch_idx):
-            im = cv2.imread(self._image_path_at(idx))
+            im = self._imread(idx)
             canvas[bi, :im.shape[0], :im.shape[1]] = im
             orig_h, orig_w = float(im.shape[0]), float(im.shape[1])
             labels = [box[4] for box in self._rois[idx][:]]

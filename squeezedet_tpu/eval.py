@@ -47,6 +47,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help='Override input height (0 = model default).')
     p.add_argument('--native_loader', action='store_true',
                    help='Use the C++ threaded batch loader for image IO.')
+    p.add_argument('--image_cache_mb', type=int, default=0,
+                   help='Decoded-image LRU budget in MiB (0 = off); '
+                        'repeated eval polls skip the image decode.')
     p.add_argument('--compilation_cache', default='',
                    help='Persistent XLA compilation cache dir.')
     p.add_argument('--plot_pr', action='store_true',
@@ -366,6 +369,8 @@ def main(argv=None):
         from squeezedet_tpu.native import dataloader as ndl
         ndl.build()
         cfg = cfg.replace(use_native_loader=True)
+    if args.image_cache_mb:
+        cfg = cfg.replace(image_cache_mb=args.image_cache_mb)
     det = get_model(args.net, cfg)
     imdb = imdb_for_dataset(args.dataset, args.image_set, args.data_path,
                             cfg, year=args.year)

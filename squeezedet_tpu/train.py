@@ -82,6 +82,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help='Use the C++ threaded batch loader for image IO '
                         '(builds squeezedet_tpu/native/dataloader on '
                         'first use).')
+    p.add_argument('--image_cache_mb', type=int, default=0,
+                   help='Keep up to this many MiB of decoded images in '
+                        'a host-RAM LRU so epochs past the first skip '
+                        'the PNG/JPEG decode (the dominant host cost on '
+                        'few-core hosts). 0 = off. Ignored by '
+                        '--native_loader, which decodes in C++.')
     p.add_argument('--device_assign', action='store_true',
                    help='Run anchor-target assignment on device inside '
                         'the train step instead of on host threads.')
@@ -179,6 +185,8 @@ def main(argv=None):
         from squeezedet_tpu.native import dataloader as ndl
         ndl.build()
         cfg = cfg.replace(use_native_loader=True)
+    if args.image_cache_mb:
+        cfg = cfg.replace(image_cache_mb=args.image_cache_mb)
     if args.compute_dtype:
         cfg = cfg.replace(compute_dtype=args.compute_dtype)
 

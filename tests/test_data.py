@@ -194,3 +194,47 @@ def test_shard_hosts_disjoint_cover(kitti_root, cfg):
                  rng=np.random.RandomState(0))
     with pytest.raises(AssertionError):
         tiny.shard_hosts(len(all_idx), len(all_idx) + 1)
+
+
+def test_image_cache_parity_and_bound(kitti_root, cfg):
+    """The decoded-image LRU returns byte-identical batches, actually
+    skips the re-decode (overwriting the file doesn't change cached
+    reads), and evicts down to its byte budget."""
+    seed = 7
+    cold = Kitti("train", kitti_root, cfg, rng=np.random.RandomState(seed))
+    hot_cfg = cfg.replace(image_cache_mb=64)
+    hot = Kitti("train", kitti_root, hot_cfg,
+                rng=np.random.RandomState(seed))
+    for _ in range(3):  # second pass over 6 images at batch 2 hits cache
+        a = cold.read_batch(shuffle=True)
+        b = hot.read_batch(shuffle=True)
+        np.testing.assert_array_equal(a[0], b[0])
+        for xa, xb in zip(a[1], b[1]):
+            assert list(xa) == list(xb)
+    a = cold.read_batch(shuffle=True)
+    b = hot.read_batch(shuffle=True)
+    np.testing.assert_array_equal(a[0], b[0])
+
+    # cached decode is served from RAM: truncating the PNG on disk must
+    # not affect reads of an already-cached index
+    idx = hot.image_idx[0]
+    im1 = hot._imread(idx)
+    assert not im1.flags.writeable
+    path = hot._image_path_at(idx)
+    orig = open(path, "rb").read()
+    try:
+        open(path, "wb").write(b"not a png")
+        im2 = hot._imread(idx)
+        np.testing.assert_array_equal(np.asarray(im1), np.asarray(im2))
+    finally:
+        open(path, "wb").write(orig)
+
+    # LRU bound: budget of ~2 images keeps the cache under budget
+    one = np.asarray(im1).nbytes
+    small = Kitti("train", kitti_root,
+                  cfg.replace(image_cache_mb=max(1, (2 * one) >> 20)),
+                  rng=np.random.RandomState(seed))
+    for idx in small.image_idx:
+        small._imread(idx)
+    assert small._image_cache_bytes <= small.mc.image_cache_mb << 20
+    assert len(small._image_cache) >= 1

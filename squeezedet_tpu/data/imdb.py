@@ -235,6 +235,15 @@ class Imdb:
     def _next_batch_idx_locked(self, shuffle: bool) -> List[str]:
         mc = self.mc
         if shuffle:
+            # the epoch window below takes a straight slice of the
+            # permutation (reference imdb.py:115-121), so a batch can
+            # never exceed the (possibly host-sharded) image list —
+            # fail loudly instead of feeding short batches that would
+            # retrace every jitted program
+            assert mc.batch_size <= len(self._image_idx), (
+                "batch_size={} exceeds the {} images in this imdb "
+                "shard; shrink the batch or grow the dataset".format(
+                    mc.batch_size, len(self._image_idx)))
             if self._cur_idx + mc.batch_size >= len(self._image_idx):
                 self._shuffle_image_idx()
             batch_idx = self._perm_idx[

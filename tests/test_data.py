@@ -238,3 +238,16 @@ def test_image_cache_parity_and_bound(kitti_root, cfg):
         small._imread(idx)
     assert small._image_cache_bytes <= small.mc.image_cache_mb << 20
     assert len(small._image_cache) >= 1
+
+
+def test_batch_larger_than_dataset_fails_loudly(kitti_root, cfg):
+    """The shuffled epoch window is a straight permutation slice, so a
+    batch bigger than the image list would silently come back short and
+    retrace every jitted program — it must raise instead."""
+    db = Kitti("train", kitti_root, cfg.replace(batch_size=7),
+               rng=np.random.RandomState(0))
+    with pytest.raises(AssertionError, match="exceeds"):
+        db.read_batch(shuffle=True)
+    # the sequential (eval) path wraps around and stays legal
+    images, _ = db.read_image_batch(shuffle=False)
+    assert len(images) == 7

@@ -92,19 +92,29 @@ class CheckpointManager:
         """Delete all but the newest ``keep_newest`` finalized steps
         (and their sampler snapshots).  Returns the pruned steps."""
         import shutil
+        # Sweep residue from a prune interrupted mid-rmtree; a stale
+        # non-empty *.pruning dir would otherwise block every future
+        # rename of that step and leak it (plus its sampler files).
+        for name in os.listdir(self.directory):
+            if ".pruning" in name:
+                shutil.rmtree(os.path.join(self.directory, name),
+                              ignore_errors=True)
         steps = all_steps(self.directory)
         pruned = steps[:-keep_newest] if keep_newest > 0 else steps
         for step in pruned:
             path = self._path(step)
-            doomed = path + ".pruning"
+            doomed = "{}.pruning.{}".format(path, os.getpid())
             try:
                 os.rename(path, doomed)  # atomic: unmatches latest_step
             except OSError:  # pragma: no cover - concurrent pruner won
                 continue
             shutil.rmtree(doomed, ignore_errors=True)
+            # Exact step match only: a bare prefix test on step 1000
+            # would also claim sampler.ckpt-10000.npz (a LIVE step).
+            sampler_re = re.compile(
+                r"^sampler\.ckpt-{}(\.p\d+)?\.npz$".format(step))
             for name in os.listdir(self.directory):
-                if name.startswith("sampler.ckpt-{}".format(step)) and \
-                        name.endswith(".npz"):
+                if sampler_re.match(name):
                     try:
                         os.remove(os.path.join(self.directory, name))
                     except OSError:  # pragma: no cover

@@ -163,6 +163,12 @@ class Imdb:
         if process_count <= 1:
             return
         with self._lock:
+            # Pin the canvas extents to the FULL image list before
+            # shedding it: canvas_size() must agree across controllers
+            # (each builds one slice of the same global array), and a
+            # shard that happens to lack the tallest/widest image would
+            # otherwise compute a smaller canvas than its peers.
+            self.canvas_size()
             self._image_idx = self._image_idx[process_index::process_count]
             assert self._image_idx, (
                 "host shard {}/{} is empty — fewer images than "
@@ -240,10 +246,12 @@ class Imdb:
             # never exceed the (possibly host-sharded) image list —
             # fail loudly instead of feeding short batches that would
             # retrace every jitted program
-            assert mc.batch_size <= len(self._image_idx), (
-                "batch_size={} exceeds the {} images in this imdb "
-                "shard; shrink the batch or grow the dataset".format(
-                    mc.batch_size, len(self._image_idx)))
+            if mc.batch_size > len(self._image_idx):
+                # ValueError, not assert: must survive python -O
+                raise ValueError(
+                    "batch_size={} exceeds the {} images in this imdb "
+                    "shard; shrink the batch or grow the dataset".format(
+                        mc.batch_size, len(self._image_idx)))
             if self._cur_idx + mc.batch_size >= len(self._image_idx):
                 self._shuffle_image_idx()
             batch_idx = self._perm_idx[

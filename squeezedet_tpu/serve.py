@@ -239,10 +239,13 @@ def make_handler(run, meta, prob_thresh):
     names = meta["class_names"]
 
     class Handler(http.server.BaseHTTPRequestHandler):
-        def _reply(self, code, body, ctype="application/json"):
+        def _reply(self, code, body, ctype="application/json",
+                   headers=None):
             self.send_response(code)
             self.send_header("Content-Type", ctype)
             self.send_header("Content-Length", str(len(body)))
+            for k, v in (headers or {}).items():
+                self.send_header(k, v)
             self.end_headers()
             self.wfile.write(body)
 
@@ -279,13 +282,8 @@ def make_handler(run, meta, prob_thresh):
                 boxes, probs, classes, keep = [
                     np.asarray(o) for o in run(im[None])]
             except Overloaded:
-                self.send_response(503)
-                body = b'{"error": "overloaded, retry later"}'
-                self.send_header("Content-Type", "application/json")
-                self.send_header("Retry-After", "1")
-                self.send_header("Content-Length", str(len(body)))
-                self.end_headers()
-                self.wfile.write(body)
+                self._reply(503, b'{"error": "overloaded, retry later"}',
+                            headers={"Retry-After": "1"})
                 return
             dt = (time.perf_counter() - t0) * 1000
             dets = []

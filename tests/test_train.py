@@ -614,6 +614,36 @@ def test_checkpoint_retention_bounds_dir(tmp_path):
                                   np.full((4,), 6, np.float32))
 
 
+def test_checkpoint_retention_exact_step_match(tmp_path):
+    """Pruning step 1000 must not claim sampler.ckpt-10000.npz (a
+    decimal-prefix collision with a LIVE step), and a stale non-empty
+    ``*.pruning`` dir from a crashed prune is swept instead of blocking
+    that step's deletion forever."""
+    from squeezedet_tpu.checkpoint.manager import (CheckpointManager,
+                                                   all_steps)
+    d = str(tmp_path)
+    mgr = CheckpointManager(d, max_to_keep=2)
+    for step in (1000, 10000):
+        mgr.save(step, {"w": np.full((4,), step, np.float32)})
+        np.savez(os.path.join(d, "sampler.ckpt-{}.npz".format(step)),
+                 cur=np.asarray(step))
+        np.savez(os.path.join(d, "sampler.ckpt-{}.p0.npz".format(step)),
+                 cur=np.asarray(step))
+    # crashed-prune residue: a non-empty rename target for step 1000
+    stale = os.path.join(d, "model.ckpt-1000.pruning")
+    os.makedirs(stale)
+    with open(os.path.join(stale, "leftover"), "w") as f:
+        f.write("x")
+
+    mgr.save(20000, {"w": np.full((4,), 20000, np.float32)})
+    assert all_steps(d) == [10000, 20000]
+    samplers = sorted(n for n in os.listdir(d)
+                      if n.startswith("sampler.ckpt-"))
+    assert samplers == ["sampler.ckpt-10000.npz",
+                        "sampler.ckpt-10000.p0.npz"]
+    assert not [n for n in os.listdir(d) if ".pruning" in n]
+
+
 def test_checkpoint_retention_daemon_race(tmp_path):
     """A concurrently polling eval daemon (latest_step + restore, like
     eval.main) never observes an empty dir, a half-deleted step, or a

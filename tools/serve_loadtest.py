@@ -41,6 +41,10 @@ def run_load(url: str, clients: int, requests_per_client: int,
                     r.read()
             except urllib.error.HTTPError as e:
                 code = e.code
+            except (urllib.error.URLError, OSError):
+                # resets/refusals under overload must not kill the
+                # client thread (the divisor is clients*requests)
+                code = "conn_error"
             dt = time.perf_counter() - t0
             with lock:
                 codes[code] = codes.get(code, 0) + 1

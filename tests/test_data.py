@@ -196,6 +196,30 @@ def test_shard_hosts_disjoint_cover(kitti_root, cfg):
         tiny.shard_hosts(len(all_idx), len(all_idx) + 1)
 
 
+def test_shard_hosts_canvas_agreement(tmp_path, cfg):
+    """canvas_size() must agree across host shards even when a shard
+    lacks the tallest/widest image: every multihost controller builds
+    one slice of the same global canvas array, so it is pinned to the
+    FULL image list before sharding."""
+    from squeezedet_tpu.data import Kitti
+    root = str(tmp_path / "kitti")
+    # three small images, then one larger one at strided position 3:
+    # shard [0::2] = {0, 2} never sees the 128x352 frame
+    make_synth_kitti(root, num_images=3, width=320, height=96, seed=0)
+    make_synth_kitti(root, num_images=1, width=352, height=128, seed=1,
+                     start_index=3)
+    sets = os.path.join(root, "ImageSets", "train.txt")
+    with open(sets, "w") as f:
+        f.write("\n".join("{:06d}".format(i) for i in range(4)) + "\n")
+
+    sizes = []
+    for p in range(2):
+        db = Kitti("train", root, cfg, rng=np.random.RandomState(p))
+        db.shard_hosts(p, 2)
+        sizes.append(db.canvas_size())
+    assert sizes[0] == sizes[1] == (128, 352)
+
+
 def test_image_cache_parity_and_bound(kitti_root, cfg):
     """The decoded-image LRU returns byte-identical batches, actually
     skips the re-decode (overwriting the file doesn't change cached

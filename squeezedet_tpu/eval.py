@@ -98,6 +98,52 @@ def quantize_on_split(det, imdb, params, calib_batches: int,
     return qparams
 
 
+def _spatial_predict_with_fallback(spatial_jit, single_jit, host_params,
+                                   quant: bool, n_devices: int):
+    """Predict callable that degrades from spatial partitioning to
+    single-device on the known int8 SPMD compile failure.
+
+    Backstop for s8 stage geometries the stride-16 divisibility
+    precheck (``spatial_factors``) cannot model, e.g. VALID-pool nets:
+    XLA's partitioner mis-types its zero-pad broadcast on unevenly
+    split s8 convs (hlo_verifier RET_CHECK ``SameElementType``).  Only
+    that signature falls back — a bf16 anomaly must surface, not be
+    mislabeled.  On fallback the sharded param replicas are freed
+    before the single-device program allocates.  Factored out of
+    ``detect_all`` so the except path is unit-testable with stub
+    callables (tests/test_eval_dp.py) — no TPU geometry in CI actually
+    trips it.
+    """
+    import jax
+
+    state = {'spatial': True, 'announced': False}
+
+    def predict(p, images):
+        if state['spatial']:
+            try:
+                out = spatial_jit(p, images)
+            except jax.errors.JaxRuntimeError as e:
+                if not (quant and 'SameElementType' in str(e)):
+                    raise
+                print('int8 spatial partitioning unavailable '
+                      'for this geometry; evaluating '
+                      'single-device')
+                state['spatial'] = False
+                for leaf in jax.tree_util.tree_leaves(p):
+                    leaf.delete()
+            else:
+                if not state['announced']:
+                    # after the first success, so a fallback log
+                    # never shows both banners
+                    print('Evaluating spatially over {} '
+                          'devices'.format(n_devices))
+                    state['announced'] = True
+                return out
+        return single_jit(host_params, images)
+
+    return predict
+
+
 def detect_all(det, imdb, params, batch_size: int, quant: bool = False,
                device_postprocess: bool = False):
     """Run detection over the whole split.
@@ -196,36 +242,9 @@ def detect_all(det, imdb, params, batch_size: int, quant: bool = False,
             single_jit = jax.jit(base_fn)
             host_params = params
             params = jax.device_put(params, rep)
-            state = {'spatial': True, 'announced': False}
-
-            def predict(p, images):
-                if state['spatial']:
-                    try:
-                        out = spatial_jit(p, images)
-                    except jax.errors.JaxRuntimeError as e:
-                        # backstop for s8 stage geometries the
-                        # stride-16 divisibility precheck cannot model
-                        # (VALID-pool nets); a bf16 anomaly is not this
-                        # bug and must surface, not be mislabeled
-                        if not (quant and 'SameElementType' in str(e)):
-                            raise
-                        print('int8 spatial partitioning unavailable '
-                              'for this geometry; evaluating '
-                              'single-device')
-                        state['spatial'] = False
-                        # free the sharded replicas before the
-                        # single-device program allocates
-                        for leaf in jax.tree_util.tree_leaves(p):
-                            leaf.delete()
-                    else:
-                        if not state['announced']:
-                            # after the first success, so a fallback
-                            # log never shows both banners
-                            print('Evaluating spatially over {} '
-                                  'devices'.format(smesh.devices.size))
-                            state['announced'] = True
-                        return out
-                return single_jit(host_params, images)
+            predict = _spatial_predict_with_fallback(
+                spatial_jit, single_jit, host_params, quant,
+                smesh.devices.size)
     else:
         predict = jax.jit(base_fn)
 

@@ -68,7 +68,13 @@ def filter_prediction_np(
         boxes = boxes[order]
         cls_idx = cls_idx[order]
     else:
-        keep_idx = np.nonzero(probs > prob_thresh)[0]
+        # reversed (descending anchor index) for the same reason as the
+        # top-N branch: nms()'s larger-POSITION-first tie walk then
+        # resolves equal-score overlaps smaller-anchor-first, matching
+        # the device kernel's (pi == pj) & (li > lj) mask.  Ascending
+        # order here would flip the convention in the prob-thresh
+        # regime only.
+        keep_idx = np.nonzero(probs > prob_thresh)[0][::-1]
         probs = probs[keep_idx]
         boxes = boxes[keep_idx]
         cls_idx = cls_idx[keep_idx]

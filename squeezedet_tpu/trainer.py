@@ -93,6 +93,29 @@ def make_train_step(det: Detector, tx, mesh=None, donate: bool = True):
     return jax.jit(step_fn, **kwargs)
 
 
+def _apply_update(det: Detector, tx, mask, params, opt_state, images,
+                  targets, rng):
+    """Forward + backward + optimizer application shared by the
+    single-step and scanned train-step builders — ONE home for the
+    partition/loss/grad/update sequence so the two programs can never
+    desynchronize numerically (the scanned path is contract-bound to be
+    bit-equal to K single dispatches, test_train/test_multihost)."""
+    from squeezedet_tpu.optim import (grads_with_frozen_zeros,
+                                      merge_params, partition_params)
+    trainable, frozen = partition_params(params, mask)
+
+    def loss_fn(tp):
+        lb = det.loss(merge_params(tp, frozen), images, targets,
+                      rng=rng, train=True)
+        return lb.total, lb
+
+    grads_t, lb = jax.grad(loss_fn, has_aux=True)(trainable)
+    grads = grads_with_frozen_zeros(grads_t, params)
+    updates, opt_state = tx.update(grads, opt_state, params)
+    params = jax.tree.map(lambda p, u: p + u, params, updates)
+    return params, opt_state, lb
+
+
 def make_train_step_device(det: Detector, tx, mesh=None,
                            donate: bool = True,
                            uint8_ingest: bool = False,
@@ -115,24 +138,12 @@ def make_train_step_device(det: Detector, tx, mesh=None,
     ``aug`` after ``images``.
     """
     from squeezedet_tpu.data.device_pipeline import ingest_and_assign
-    from squeezedet_tpu.optim import (grads_with_frozen_zeros,
-                                      merge_params, partition_params)
 
     mask = det._trainable_mask_cache(None)
 
     def _update(params, opt_state, images, targets, rng):
-        trainable, frozen = partition_params(params, mask)
-
-        def loss_fn(tp):
-            lb = det.loss(merge_params(tp, frozen), images, targets,
-                          rng=rng, train=True)
-            return lb.total, lb
-
-        grads_t, lb = jax.grad(loss_fn, has_aux=True)(trainable)
-        grads = grads_with_frozen_zeros(grads_t, params)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        params = jax.tree.map(lambda p, u: p + u, params, updates)
-        return params, opt_state, lb
+        return _apply_update(det, tx, mask, params, opt_state, images,
+                             targets, rng)
 
     if device_augment:
         def step_fn(params, opt_state, images, aug, gt_boxes, gt_labels,
@@ -195,8 +206,6 @@ def make_train_step_device_scan(det: Detector, tx, k: int, mesh=None,
     leaves, scan order).
     """
     from squeezedet_tpu.data.device_pipeline import ingest_and_assign
-    from squeezedet_tpu.optim import (grads_with_frozen_zeros,
-                                      merge_params, partition_params)
 
     mask = det._trainable_mask_cache(None)
 
@@ -210,17 +219,8 @@ def make_train_step_device_scan(det: Detector, tx, k: int, mesh=None,
         images, targets = ingest_and_assign(det, images, gt_boxes,
                                             gt_labels, num_gt,
                                             uint8_ingest, aug=aug)
-        trainable, frozen = partition_params(params, mask)
-
-        def loss_fn(tp):
-            lb = det.loss(merge_params(tp, frozen), images, targets,
-                          rng=rng, train=True)
-            return lb.total, lb
-
-        grads_t, lb = jax.grad(loss_fn, has_aux=True)(trainable)
-        grads = grads_with_frozen_zeros(grads_t, params)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        params = jax.tree.map(lambda p, u: p + u, params, updates)
+        params, opt_state, lb = _apply_update(
+            det, tx, mask, params, opt_state, images, targets, rng)
         return (params, opt_state), lb
 
     def step_fn(params, opt_state, *batch_and_rngs):
@@ -555,6 +555,15 @@ def train(det: Detector, imdb, *, train_dir: str, max_steps: int,
     if mesh is None and len(jax.devices()) > 1:
         from squeezedet_tpu.parallel.mesh import auto_mesh
         mesh = auto_mesh(cfg.batch_size)
+    if mesh is None and jax.process_count() > 1:
+        # Without a mesh each controller would train an independent
+        # replica on its local batch — silent divergence, not DP.  (The
+        # scanned branch would otherwise also crash dereferencing mesh.)
+        raise ValueError(
+            "multi-controller training needs a device mesh, but "
+            "batch_size={} has no divisor over the {} devices; choose "
+            "a batch size divisible by a device count (or pass an "
+            "explicit mesh)".format(cfg.batch_size, len(jax.devices())))
     if pallas_grads:
         # Pallas filter-grad backward for stride-1 SAME convs
         # (ops/filter_grad.py).  A pallas_call is not SPMD-partitionable,
@@ -695,9 +704,12 @@ def train(det: Detector, imdb, *, train_dir: str, max_steps: int,
                     images, rest = item[0], item[1:]
                     rng, r = jax.random.split(rng)
                     if mesh is not None:
+                        # raw host arrays: the shard helpers device_put
+                        # (or build global arrays from) numpy directly —
+                        # a jnp.asarray here would round-trip each
+                        # target through the default device first
                         batch = (_shard_images(mesh, images),) + \
-                            _shard_batch(mesh, tuple(
-                                jnp.asarray(x) for x in rest))
+                            _shard_batch(mesh, tuple(rest))
                     else:
                         batch = (jnp.asarray(images),) + tuple(
                             jnp.asarray(x) for x in rest)
@@ -738,9 +750,10 @@ def train(det: Detector, imdb, *, train_dir: str, max_steps: int,
                 if mesh is not None:
                     # images get the (data[, spatial]) placement the
                     # step's in_shardings expect; anchor-space targets
-                    # (and the aug rows) shard over 'data' only
+                    # (and the aug rows) shard over 'data' only — raw
+                    # numpy in, the helpers place it directly
                     batch = (_shard_images(mesh, images),) + _shard_batch(
-                        mesh, tuple(jnp.asarray(x) for x in rest))
+                        mesh, tuple(rest))
                 else:
                     batch = (jnp.asarray(images),) + tuple(
                         jnp.asarray(x) for x in rest)

@@ -170,3 +170,65 @@ def test_detect_all_quant_spatial_even_geometry(kitti_root, capsys):
             assert a.shape == b.shape, (c, i)
             if a.size:
                 np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-3)
+
+
+def test_spatial_fallback_backstop(capsys):
+    """The int8 spatial fallback catch itself: the known s8 SPMD
+    compile failure (JaxRuntimeError containing SameElementType, under
+    quant) flips to single-device exactly once and frees the sharded
+    replicas; anything else re-raises.  No CI geometry trips the real
+    compile failure anymore (spatial_factors avoids it), so the branch
+    is pinned with stubs."""
+    from squeezedet_tpu.eval import _spatial_predict_with_fallback
+
+    err = jax.errors.JaxRuntimeError(
+        "RET_CHECK failure ... SameElementType ...")
+    calls = {"spatial": 0, "single": 0}
+
+    def spatial_jit(p, images):
+        calls["spatial"] += 1
+        raise err
+
+    def single_jit(hp, images):
+        calls["single"] += 1
+        assert hp == "host_params"
+        return "single_out"
+
+    leaf = jax.device_put(np.zeros((4,), np.float32))
+    predict = _spatial_predict_with_fallback(
+        spatial_jit, single_jit, "host_params", quant=True, n_devices=8)
+    assert predict({"w": leaf}, "img0") == "single_out"
+    assert predict({"w": leaf}, "img1") == "single_out"
+    # spatial tried once, then permanently off; replicas freed
+    assert calls == {"spatial": 1, "single": 2}
+    assert leaf.is_deleted()
+    out = capsys.readouterr().out
+    assert "int8 spatial partitioning unavailable" in out
+    assert "Evaluating spatially" not in out
+
+    # the same failure WITHOUT quant is an anomaly and must surface
+    predict_bf16 = _spatial_predict_with_fallback(
+        spatial_jit, single_jit, "host_params", quant=False, n_devices=8)
+    with pytest.raises(jax.errors.JaxRuntimeError):
+        predict_bf16({"w": jax.device_put(np.zeros(2))}, "img")
+
+    # an unrelated runtime error under quant must surface too
+    def spatial_oom(p, images):
+        raise jax.errors.JaxRuntimeError("RESOURCE_EXHAUSTED: OOM")
+
+    predict_oom = _spatial_predict_with_fallback(
+        spatial_oom, single_jit, "host_params", quant=True, n_devices=8)
+    with pytest.raises(jax.errors.JaxRuntimeError):
+        predict_oom({"w": jax.device_put(np.zeros(2))}, "img")
+
+    # the healthy path announces once and never falls back
+    def spatial_ok(p, images):
+        return "spatial_out"
+
+    predict_ok = _spatial_predict_with_fallback(
+        spatial_ok, single_jit, "host_params", quant=True, n_devices=8)
+    assert predict_ok({"w": jax.device_put(np.zeros(2))}, "a") \
+        == "spatial_out"
+    assert predict_ok({"w": jax.device_put(np.zeros(2))}, "b") \
+        == "spatial_out"
+    assert capsys.readouterr().out.count("Evaluating spatially") == 1

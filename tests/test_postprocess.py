@@ -140,3 +140,33 @@ def test_tied_scores_rank_like_host():
     assert len(got[0]) == len(want[0])
     np.testing.assert_allclose(np.asarray(got[0]),
                                np.asarray(want[0]), rtol=1e-6)
+
+
+def test_tied_scores_prob_thresh_regime_parity():
+    """Same two-layer tie contract in the PROB-THRESH regime
+    (top_n >= num candidates, so the top-N reorder is skipped): the
+    host path must still resolve equal-score overlaps
+    smaller-anchor-first like the device kernel's
+    (pi == pj) & (li > lj) mask, via the reversed candidate order in
+    filter_prediction_np's else branch."""
+    boxes = np.array([[100.0, 100.0, 50.0, 50.0],
+                      [105.0, 102.0, 50.0, 50.0],
+                      [600.0, 100.0, 50.0, 50.0],
+                      [604.0, 103.0, 50.0, 50.0]], np.float32)
+    probs = np.full((4,), 0.5, np.float32)
+    cls = np.zeros((4,), np.int64)
+
+    db, dp, dc, keep = filter_prediction_device(
+        jnp.asarray(boxes)[None], jnp.asarray(probs)[None],
+        jnp.asarray(cls)[None], top_n=64, nms_thresh=0.4, num_classes=3)
+    got = device_results_to_lists(
+        np.asarray(db[0]), np.asarray(dp[0]), np.asarray(dc[0]),
+        np.asarray(keep[0]), num_classes=3)
+    want = filter_prediction_np(
+        boxes, probs, cls, classes=3, top_n_detection=64,
+        prob_thresh=0.005, nms_thresh=0.4)
+    assert len(want[0]) == 2  # one survivor per tied pair
+    assert len(got[0]) == len(want[0])
+    np.testing.assert_allclose(np.sort(np.asarray(got[0]), axis=0),
+                               np.sort(np.asarray(want[0]), axis=0),
+                               rtol=1e-6)

@@ -1,0 +1,61 @@
+#!/bin/bash
+# Large-batch training recipe validation at the perf sweet spot.
+#
+# The throughput headline (1210 img/s, PARITY.md train roofline) is
+# measured at batch 128, but the accuracy validations ran the reference
+# batch-16-style recipe.  This experiment fuses the two: train the
+# flagship 1248x384 squeezeDet from scratch at batch 128 with the
+# linearly-scaled LR rule (lr = base_lr * batch/16, linear warmup over
+# the first ~10% of steps, decay_steps scaled by 16/batch so the
+# staircase boundary lands at the same sample count — reference
+# schedule semantics at src/config/kitti_squeezeDet_config.py:15-22)
+# on an EQUAL SAMPLE BUDGET (48k images), and require val mAP within
+# noise of the batch-16 control trained on the same dataset.
+#
+#   ARM=control  -> batch 16,  lr 0.001, 3000 steps
+#   ARM=large    -> batch 128, lr 0.008, warmup 40, 375 steps
+#
+# Both arms: bf16, --device_assign --uint8_ingest, host drift/flip
+# augmentation, disjoint 256-image train / 75-image val synthetic
+# KITTI at the flagship geometry.  Usage:
+#   bash scripts/large_batch_recipe.sh gen
+#   ARM=large  bash scripts/large_batch_recipe.sh train
+#   ARM=large  bash scripts/large_batch_recipe.sh eval
+set -e
+ROOT=${ROOT:-/tmp/lb}
+DATA=$ROOT/kitti
+ARM=${ARM:-large}
+W=1248; H=384
+
+case "$1" in
+gen)
+  python - <<PY
+import sys; sys.path.insert(0, '/root/repo/tests')
+from synth_kitti import make_synth_kitti
+make_synth_kitti('$DATA', num_images=256, width=$W, height=$H,
+                 image_set='train', seed=1, start_index=0)
+make_synth_kitti('$DATA', num_images=75, width=$W, height=$H,
+                 image_set='val', seed=7, start_index=1000)
+PY
+  ;;
+train)
+  if [ "$ARM" = control ]; then
+    BS=16; LR=0.001; WARM=0; DECAY=10000; STEPS=3000; CKPT=1000
+  else
+    BS=128; LR=0.008; WARM=40; DECAY=1250; STEPS=375; CKPT=125
+  fi
+  squeezedet-train --data_path $DATA --image_set train \
+    --train_dir $ROOT/train_$ARM --image_width $W --image_height $H \
+    --batch_size $BS --learning_rate $LR --lr_warmup_steps $WARM \
+    --decay_steps $DECAY --max_steps $STEPS --checkpoint_step $CKPT \
+    --device_assign --uint8_ingest --compute_dtype bfloat16 \
+    --image_cache_mb 768 --seed 0
+  ;;
+eval)
+  squeezedet-eval --data_path $DATA --image_set val \
+    --eval_dir $ROOT/eval_$ARM --checkpoint_path $ROOT/train_$ARM \
+    --run_once --eval_batch_size 25 --image_width $W --image_height $H \
+    --compute_dtype bfloat16
+  ;;
+*) echo "usage: $0 {gen|train|eval}  [ARM=control|large]"; exit 1 ;;
+esac

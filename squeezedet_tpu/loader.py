@@ -37,7 +37,8 @@ class PrefetchLoader:
                  capacity: Optional[int] = None, shuffle: bool = True,
                  device_targets: bool = False, max_gt: int = 48,
                  uint8_images: bool = False,
-                 device_augment: bool = False):
+                 device_augment: bool = False,
+                 device_dataset: bool = False):
         mc = imdb.mc
         self._imdb = imdb
         self._shuffle = shuffle
@@ -45,6 +46,7 @@ class PrefetchLoader:
         self._max_gt = max_gt
         self._uint8_images = uint8_images
         self._device_augment = device_augment
+        self._device_dataset = device_dataset
         self._num_anchors = mc.anchors
         self._num_classes = mc.classes
         self._queue: queue.Queue = queue.Queue(
@@ -74,7 +76,12 @@ class PrefetchLoader:
         try:
             while not self._stop.is_set():
                 plan = self._imdb.draw_batch_plan(shuffle=self._shuffle)
-                if self._device_augment:
+                if self._device_dataset:
+                    # index + aug + GT rows only; the pixels are already
+                    # resident in HBM (imdb.load_canvas_dataset)
+                    item = self._imdb.read_batch_plan_rows(
+                        max_gt=self._max_gt, plan=plan)
+                elif self._device_augment:
                     # raw uint8 canvas + per-image aug rows; the whole
                     # pixel pipeline (drift/flip/resize/normalize) runs
                     # inside the jitted train step

@@ -119,7 +119,8 @@ def _apply_update(det: Detector, tx, mask, params, opt_state, images,
 def make_train_step_device(det: Detector, tx, mesh=None,
                            donate: bool = True,
                            uint8_ingest: bool = False,
-                           device_augment: bool = False):
+                           device_augment: bool = False,
+                           device_dataset: bool = False):
     """Train step with the anchor matcher fused into the device program.
 
     Signature: (params, opt_state, images, gt_boxes, gt_labels, num_gt,
@@ -136,6 +137,16 @@ def make_train_step_device(det: Detector, tx, mesh=None,
     drift/flip/resize/normalize pipeline runs inside this program
     (device_pipeline.augment_resize_normalize) — the signature gains
     ``aug`` after ``images``.
+
+    ``device_dataset``: the whole split lives in HBM as one uint8
+    canvas stack (imdb.load_canvas_dataset) and the step signature
+    becomes (params, opt_state, dataset [N,H0,W0,3], pos [B], aug,
+    gt_boxes, gt_labels, num_gt, rng): the batch canvas is GATHERED on
+    device and runs the same on-device augmentation — per-step
+    host->device traffic is index/aug/GT rows only (KBs vs B full
+    images), so training wall speed equals device speed even on
+    transfer-starved hosts (PARITY.md streaming analysis).  The
+    dataset arg is never donated; on a mesh it is replicated.
     """
     from squeezedet_tpu.data.device_pipeline import ingest_and_assign
 
@@ -145,7 +156,15 @@ def make_train_step_device(det: Detector, tx, mesh=None,
         return _apply_update(det, tx, mask, params, opt_state, images,
                              targets, rng)
 
-    if device_augment:
+    if device_dataset:
+        def step_fn(params, opt_state, dataset, pos, aug, gt_boxes,
+                    gt_labels, num_gt, rng):
+            images = jnp.take(dataset, pos, axis=0)
+            images, targets = ingest_and_assign(det, images, gt_boxes,
+                                                gt_labels, num_gt,
+                                                uint8_ingest, aug=aug)
+            return _update(params, opt_state, images, targets, rng)
+    elif device_augment:
         def step_fn(params, opt_state, images, aug, gt_boxes, gt_labels,
                     num_gt, rng):
             images, targets = ingest_and_assign(det, images, gt_boxes,
@@ -166,10 +185,16 @@ def make_train_step_device(det: Detector, tx, mesh=None,
     if mesh is not None:
         rep = replicated_sharding(mesh)
         data = batch_sharding(mesh)
-        imgs = image_sharding(mesh)  # + height over 'spatial' if present
-        n_data = 4 if device_augment else 3
-        kwargs["in_shardings"] = (rep, rep, imgs) + (data,) * n_data \
-            + (rep,)
+        if device_dataset:
+            # dataset replicated (every chip holds the stack; the
+            # gather is then local), index/aug/GT rows over 'data'
+            kwargs["in_shardings"] = (rep, rep, rep) + (data,) * 5 \
+                + (rep,)
+        else:
+            imgs = image_sharding(mesh)  # + height over 'spatial'
+            n_data = 4 if device_augment else 3
+            kwargs["in_shardings"] = (rep, rep, imgs) + (data,) * n_data \
+                + (rep,)
         kwargs["out_shardings"] = (rep, rep, rep)
     return jax.jit(step_fn, **kwargs)
 
@@ -188,7 +213,8 @@ def _sampler_ckpt_path(train_dir: str, step: int) -> str:
 def make_train_step_device_scan(det: Detector, tx, k: int, mesh=None,
                                 donate: bool = True,
                                 uint8_ingest: bool = False,
-                                device_augment: bool = False):
+                                device_augment: bool = False,
+                                device_dataset: bool = False):
     """K device-matcher train steps fused into ONE device program via
     ``lax.scan`` (--steps_per_dispatch).
 
@@ -209,9 +235,12 @@ def make_train_step_device_scan(det: Detector, tx, k: int, mesh=None,
 
     mask = det._trainable_mask_cache(None)
 
-    def one_step(carry, xs):
+    def one_step(dataset, carry, xs):
         params, opt_state = carry
-        if device_augment:
+        if device_dataset:
+            pos, aug, gt_boxes, gt_labels, num_gt, rng = xs
+            images = jnp.take(dataset, pos, axis=0)
+        elif device_augment:
             images, aug, gt_boxes, gt_labels, num_gt, rng = xs
         else:
             images, gt_boxes, gt_labels, num_gt, rng = xs
@@ -223,10 +252,18 @@ def make_train_step_device_scan(det: Detector, tx, k: int, mesh=None,
             det, tx, mask, params, opt_state, images, targets, rng)
         return (params, opt_state), lb
 
-    def step_fn(params, opt_state, *batch_and_rngs):
-        (params, opt_state), lbs = jax.lax.scan(
-            one_step, (params, opt_state), tuple(batch_and_rngs))
-        return params, opt_state, lbs
+    if device_dataset:
+        def step_fn(params, opt_state, dataset, *batch_and_rngs):
+            (params, opt_state), lbs = jax.lax.scan(
+                partial(one_step, dataset), (params, opt_state),
+                tuple(batch_and_rngs))
+            return params, opt_state, lbs
+    else:
+        def step_fn(params, opt_state, *batch_and_rngs):
+            (params, opt_state), lbs = jax.lax.scan(
+                partial(one_step, None), (params, opt_state),
+                tuple(batch_and_rngs))
+            return params, opt_state, lbs
 
     kwargs = {}
     if donate:
@@ -235,11 +272,15 @@ def make_train_step_device_scan(det: Detector, tx, k: int, mesh=None,
         rep = replicated_sharding(mesh)
         from squeezedet_tpu.parallel.mesh import (stacked_image_sharding,
                                                   stacked_sharding)
-        imgs = stacked_image_sharding(mesh)
         data = stacked_sharding(mesh)
-        n_data = 4 if device_augment else 3
-        kwargs["in_shardings"] = (rep, rep, imgs) + (data,) * n_data \
-            + (rep,)
+        if device_dataset:
+            kwargs["in_shardings"] = (rep, rep, rep) + (data,) * 5 \
+                + (rep,)
+        else:
+            imgs = stacked_image_sharding(mesh)
+            n_data = 4 if device_augment else 3
+            kwargs["in_shardings"] = (rep, rep, imgs) + (data,) * n_data \
+                + (rep,)
         kwargs["out_shardings"] = (rep, rep, rep)
     return jax.jit(step_fn, **kwargs)
 
@@ -446,7 +487,8 @@ def train(det: Detector, imdb, *, train_dir: str, max_steps: int,
           rng_impl: str = "",
           pallas_grads: bool = False,
           max_to_keep: int = 5,
-          device_augment: bool = False) -> TrainState:
+          device_augment: bool = False,
+          device_dataset: bool = False) -> TrainState:
     """Full training loop (reference train.py:102-335).
 
     ``rng_impl``: PRNG implementation for the step/dropout keys, e.g.
@@ -476,6 +518,13 @@ def train(det: Detector, imdb, *, train_dir: str, max_steps: int,
                   "produced on this path — ignoring: {}. Use "
                   "--steps_per_dispatch 1 to capture them.".format(
                       steps_per_dispatch, ", ".join(skipped)))
+    if device_dataset:
+        device_augment = True  # same on-device pixel pipeline
+        if jax.process_count() > 1:
+            raise ValueError(
+                "--device_dataset is single-controller for now: the "
+                "canvas stack would need host-local sharding across "
+                "processes; use --device_augment on multihost runs")
     if device_augment:
         if not device_assign:
             raise ValueError("--device_augment requires --device_assign "
@@ -578,9 +627,30 @@ def train(det: Detector, imdb, *, train_dir: str, max_steps: int,
     if device_assign:
         train_step = make_train_step_device(det, tx, mesh=mesh,
                                             uint8_ingest=uint8_ingest,
-                                            device_augment=device_augment)
+                                            device_augment=device_augment,
+                                            device_dataset=device_dataset)
     else:
         train_step = make_train_step(det, tx, mesh=mesh)
+
+    dataset_dev = None
+    if device_dataset:
+        dataset_np = imdb.load_canvas_dataset()
+        gib = dataset_np.nbytes / 2**30
+        if gib > 12.0:
+            raise ValueError(
+                "--device_dataset: the {}-image split is {:.1f} GiB as "
+                "a uint8 canvas stack — too large next to params/"
+                "activations in one chip's HBM; use --device_augment "
+                "(per-step canvas feed) instead".format(
+                    len(dataset_np), gib))
+        print("Device-resident dataset: {} images, {:.2f} GiB, "
+              "uploaded once".format(len(dataset_np), gib))
+        if mesh is not None:
+            dataset_dev = jax.device_put(dataset_np,
+                                         replicated_sharding(mesh))
+        else:
+            dataset_dev = jax.device_put(dataset_np)
+        del dataset_np
 
     # viz/histograms under --device_assign need dense Targets; rebuild
     # them from the raw batch with the same device matcher the step uses.
@@ -627,7 +697,8 @@ def train(det: Detector, imdb, *, train_dir: str, max_steps: int,
     loader = PrefetchLoader(imdb, device_targets=device_assign,
                             max_gt=max_gt,
                             uint8_images=uint8_ingest,
-                            device_augment=device_augment).start()
+                            device_augment=device_augment,
+                            device_dataset=device_dataset).start()
 
     def _images_for_summary(images):
         """Viz/activation consumers expect mean-subtracted f32 pixels
@@ -669,7 +740,8 @@ def train(det: Detector, imdb, *, train_dir: str, max_steps: int,
             n_items = 5 if device_augment else 4
             scan_step = make_train_step_device_scan(
                 det, tx, K, mesh=mesh, uint8_ingest=uint8_ingest,
-                device_augment=device_augment)
+                device_augment=device_augment,
+                device_dataset=device_dataset)
             if multihost:
                 # multi-controller scan: each host stacks its K LOCAL
                 # batch shards into [K, B_local, ...]; the global
@@ -696,23 +768,31 @@ def train(det: Detector, imdb, *, train_dir: str, max_steps: int,
                     for _ in range(K):
                         rng, r = jax.random.split(rng)
                         rngs.append(r)
+                    head = (dataset_dev,) if device_dataset else ()
                     params, opt_state, lbs = scan_step(
-                        params, opt_state, *stacked, jnp.stack(rngs))
+                        params, opt_state, *head, *stacked,
+                        jnp.stack(rngs))
                     k_done = K
                 else:  # tail smaller than K: single-step dispatches
                     item = loader.get()
-                    images, rest = item[0], item[1:]
                     rng, r = jax.random.split(rng)
-                    if mesh is not None:
+                    if device_dataset:
+                        if mesh is not None:
+                            batch = (dataset_dev,) + _shard_batch(
+                                mesh, tuple(item))
+                        else:
+                            batch = (dataset_dev,) + tuple(
+                                jnp.asarray(x) for x in item)
+                    elif mesh is not None:
                         # raw host arrays: the shard helpers device_put
                         # (or build global arrays from) numpy directly —
                         # a jnp.asarray here would round-trip each
                         # target through the default device first
-                        batch = (_shard_images(mesh, images),) + \
-                            _shard_batch(mesh, tuple(rest))
+                        batch = (_shard_images(mesh, item[0]),) + \
+                            _shard_batch(mesh, tuple(item[1:]))
                     else:
-                        batch = (jnp.asarray(images),) + tuple(
-                            jnp.asarray(x) for x in rest)
+                        batch = (jnp.asarray(item[0]),) + tuple(
+                            jnp.asarray(x) for x in item[1:])
                     params, opt_state, lbs = train_step(
                         params, opt_state, *batch, r)
                     k_done = 1
@@ -746,17 +826,25 @@ def train(det: Detector, imdb, *, train_dir: str, max_steps: int,
                 # copies: a batch-sharded global array spans other
                 # processes' devices and cannot be np.asarray'd
                 host_batch = loader.get()
-                images, rest = host_batch[0], host_batch[1:]
-                if mesh is not None:
+                if device_dataset:
+                    # host rows are (pos, aug, gt, labels, num_gt);
+                    # the canvas gather happens inside the step
+                    if mesh is not None:
+                        batch = (dataset_dev,) + _shard_batch(
+                            mesh, tuple(host_batch))
+                    else:
+                        batch = (dataset_dev,) + tuple(
+                            jnp.asarray(x) for x in host_batch)
+                elif mesh is not None:
                     # images get the (data[, spatial]) placement the
                     # step's in_shardings expect; anchor-space targets
                     # (and the aug rows) shard over 'data' only — raw
                     # numpy in, the helpers place it directly
-                    batch = (_shard_images(mesh, images),) + _shard_batch(
-                        mesh, tuple(rest))
+                    batch = (_shard_images(mesh, host_batch[0]),) + \
+                        _shard_batch(mesh, tuple(host_batch[1:]))
                 else:
-                    batch = (jnp.asarray(images),) + tuple(
-                        jnp.asarray(x) for x in rest)
+                    batch = (jnp.asarray(host_batch[0]),) + tuple(
+                        jnp.asarray(x) for x in host_batch[1:])
                 params, opt_state, lb = train_step(
                     params, opt_state, *batch, step_rng)
                 targets = None

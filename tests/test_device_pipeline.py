@@ -75,6 +75,37 @@ def test_device_augment_matches_host_path(tmp_path_factory):
     np.testing.assert_array_equal(n, host_n)
 
 
+def test_plan_rows_match_canvas_reader(tmp_path_factory):
+    """The device-resident dataset path (load_canvas_dataset +
+    read_batch_plan_rows) must be a pure re-plumbing of the canvas
+    reader: gathering the preloaded stack at the returned positions
+    reproduces read_batch_canvas's pixel rows bit-for-bit, and the
+    aug/GT rows are identical for the same BatchPlan."""
+    from synth_kitti import make_synth_kitti
+
+    from squeezedet_tpu.data import Kitti
+
+    root = str(tmp_path_factory.mktemp("kitti_devds"))
+    make_synth_kitti(root, num_images=9, width=320, height=96,
+                     image_set="train", seed=11)
+    mcfg = tiny_test_config(image_width=256, image_height=80,
+                            batch_size=5).replace(
+        data_augmentation=True, drift_x=40, drift_y=20)
+    db = Kitti("train", root, mcfg)
+    stack = db.load_canvas_dataset()
+    assert stack.shape[0] == 9
+
+    for _ in range(3):
+        plan = db.draw_batch_plan(True)
+        canvas, aug_c, gt_c, lab_c, n_c = db.read_batch_canvas(plan=plan)
+        pos, aug, gt, lab, n = db.read_batch_plan_rows(plan=plan)
+        np.testing.assert_array_equal(stack[pos], canvas)
+        np.testing.assert_array_equal(aug, aug_c)
+        np.testing.assert_allclose(gt, gt_c, rtol=1e-6)
+        np.testing.assert_array_equal(lab, lab_c)
+        np.testing.assert_array_equal(n, n_c)
+
+
 def test_device_augment_canvas_padding_inert():
     """Garbage in the canvas beyond an image's real extent (batch
     padding for smaller-than-canvas images) must not leak into the

@@ -774,6 +774,47 @@ def test_train_loop_device_augment(kitti_root, tmp_path):
     assert state2.step == 5
 
 
+def test_train_loop_device_dataset_equals_canvas_feed(kitti_root,
+                                                      tmp_path):
+    """--device_dataset (HBM-resident canvas stack + on-device gather)
+    must train the SAME trajectory as --device_augment's per-step
+    canvas feed: the host rows are pinned identical
+    (test_device_pipeline.test_plan_rows_match_canvas_reader), so with
+    one seed the final params of the two loops must agree.  Also runs
+    the scanned dispatch + resume composition."""
+    aug_cfg = tiny_test_config(image_width=96, image_height=96,
+                               batch_size=2).replace(
+        data_augmentation=True, drift_x=20, drift_y=20)
+
+    def run(tag, **kw):
+        det = get_model("squeezeDet", aug_cfg)
+        db = Kitti("train", kitti_root, aug_cfg,
+                   rng=np.random.RandomState(0))
+        return train(det, db, train_dir=str(tmp_path / tag),
+                     max_steps=3, checkpoint_step=100,
+                     summary_step=1000, log_every=1,
+                     device_assign=True, **kw)
+
+    s_ds = run("ds", device_dataset=True)
+    s_cv = run("cv", device_augment=True)
+    assert s_ds.step == 3
+    for a, b in zip(jax.tree_util.tree_leaves(s_ds.params),
+                    jax.tree_util.tree_leaves(s_cv.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-6, atol=2e-6)
+
+    # scanned dispatches compose with the resident dataset; resume
+    # continues from the K=1 run's checkpoints
+    det = get_model("squeezeDet", aug_cfg)
+    db = Kitti("train", kitti_root, aug_cfg,
+               rng=np.random.RandomState(0))
+    state = train(det, db, train_dir=str(tmp_path / "ds_scan"),
+                  max_steps=4, checkpoint_step=2, summary_step=1000,
+                  log_every=1, device_assign=True, device_dataset=True,
+                  steps_per_dispatch=2)
+    assert state.step == 4
+
+
 def test_loader_stream_deterministic_and_exact_resume(kitti_root, cfg):
     """Multi-threaded prefetch: (a) the batch stream is a deterministic
     function of the seed for any thread count (batch-atomic RNG draws +

@@ -270,7 +270,7 @@ def test_batch_larger_than_dataset_fails_loudly(kitti_root, cfg):
     retrace every jitted program — it must raise instead."""
     db = Kitti("train", kitti_root, cfg.replace(batch_size=7),
                rng=np.random.RandomState(0))
-    with pytest.raises(AssertionError, match="exceeds"):
+    with pytest.raises(ValueError, match="exceeds"):
         db.read_batch(shuffle=True)
     # the sequential (eval) path wraps around and stays legal
     images, _ = db.read_image_batch(shuffle=False)

@@ -460,6 +460,58 @@ def test_restore_params_only(cfg, tmp_path):
         mgr.restore_params(7, params2)
 
 
+def test_device_dataset_step_on_8_device_mesh(rng):
+    """The HBM-resident dataset step partitions over the full 8-device
+    mesh: dataset replicated, index/aug/GT rows batch-sharded, and the
+    gathered-canvas program computes the same loss as feeding the
+    gathered rows through the canvas-batch step."""
+    from squeezedet_tpu.parallel.mesh import (batch_sharding, make_mesh,
+                                              replicated_sharding)
+    from squeezedet_tpu.trainer import make_train_step_device
+    cfg8 = tiny_test_config(image_width=64, image_height=64,
+                            batch_size=8)
+    det = get_model("squeezeDet", cfg8)
+    params, mask, _ = det.init(jax.random.key(0))
+    det.set_trainable_mask(mask)
+    tx = build_optimizer(cfg8, mask)
+    opt = tx.init(params)
+
+    n_img = 12
+    stack = rng.randint(0, 255, (n_img, 64, 96, 3)).astype(np.uint8)
+    pos = rng.randint(0, n_img, (8,)).astype(np.int32)
+    aug = np.zeros((8, 5), np.float32)
+    aug[:, 3], aug[:, 4] = 96.0, 64.0  # no drift/flip, full extents
+    gt = np.tile(np.asarray([[32.0, 30.0, 20.0, 16.0]], np.float32),
+                 (8, 1))[:, None, :]
+    labels = np.zeros((8, 1), np.int32)
+    num_gt = np.ones((8,), np.int32)
+
+    mesh = make_mesh(8)
+    rep, data = replicated_sharding(mesh), batch_sharding(mesh)
+    p = jax.device_put(params, rep)
+    o = jax.device_put(opt, rep)
+    step = make_train_step_device(det, tx, mesh=mesh, donate=False,
+                                  device_dataset=True)
+    _, _, lb = step(p, o, jax.device_put(jnp.asarray(stack), rep),
+                    jax.device_put(jnp.asarray(pos), data),
+                    jax.device_put(jnp.asarray(aug), data),
+                    jax.device_put(jnp.asarray(gt), data),
+                    jax.device_put(jnp.asarray(labels), data),
+                    jax.device_put(jnp.asarray(num_gt), data),
+                    jax.random.key(1))
+    total = float(lb.total)
+    assert np.isfinite(total)
+
+    # single-device canvas-batch twin on the host-gathered rows
+    step_cv = make_train_step_device(det, tx, donate=False,
+                                     device_augment=True)
+    _, _, lb_cv = step_cv(params, opt, jnp.asarray(stack[pos]),
+                          jnp.asarray(aug), jnp.asarray(gt),
+                          jnp.asarray(labels), jnp.asarray(num_gt),
+                          jax.random.key(1))
+    np.testing.assert_allclose(total, float(lb_cv.total), rtol=1e-5)
+
+
 def test_mesh_train_matches_single_device(rng):
     """K data-parallel steps on the 8-CPU mesh must match single-device
     training numerically (same params, same loss trajectory) — XLA's

@@ -15,12 +15,16 @@
 #   ARM=control  -> batch 16,  lr 0.001, 3000 steps
 #   ARM=large    -> batch 128, lr 0.008, warmup 40, 375 steps
 #
-# Both arms: bf16, --device_assign --uint8_ingest, host drift/flip
+# Both arms: bf16, --device_assign --uint8_ingest, drift/flip
 # augmentation, disjoint 256-image train / 75-image val synthetic
-# KITTI at the flagship geometry.  Usage:
+# KITTI at the flagship geometry.  DS=1 trains through
+# --device_dataset (the HBM-resident canvas stack; identical stream
+# decisions, on-device pixel pipeline — and the only way a
+# transfer-starved tunnel host can run the experiment at device
+# speed).  Usage:
 #   bash scripts/large_batch_recipe.sh gen
-#   ARM=large  bash scripts/large_batch_recipe.sh train
-#   ARM=large  bash scripts/large_batch_recipe.sh eval
+#   ARM=large [DS=1] bash scripts/large_batch_recipe.sh train
+#   ARM=large [DS=1] bash scripts/large_batch_recipe.sh eval
 set -e
 ROOT=${ROOT:-/tmp/lb}
 DATA=$ROOT/kitti
@@ -44,16 +48,22 @@ train)
   else
     BS=128; LR=0.008; WARM=40; DECAY=1250; STEPS=375; CKPT=125
   fi
+  EXTRA=""
+  SUFFIX=""
+  if [ -n "$DS" ]; then EXTRA="--device_dataset"; SUFFIX="_ds"; fi
   squeezedet-train --data_path $DATA --image_set train \
-    --train_dir $ROOT/train_$ARM --image_width $W --image_height $H \
+    --train_dir $ROOT/train_$ARM$SUFFIX --image_width $W --image_height $H \
     --batch_size $BS --learning_rate $LR --lr_warmup_steps $WARM \
     --decay_steps $DECAY --max_steps $STEPS --checkpoint_step $CKPT \
     --device_assign --uint8_ingest --compute_dtype bfloat16 \
-    --image_cache_mb 768 --seed 0
+    --image_cache_mb 768 --seed 0 $EXTRA
   ;;
 eval)
+  SUFFIX=""
+  if [ -n "$DS" ]; then SUFFIX="_ds"; fi
   squeezedet-eval --data_path $DATA --image_set val \
-    --eval_dir $ROOT/eval_$ARM --checkpoint_path $ROOT/train_$ARM \
+    --eval_dir $ROOT/eval_$ARM$SUFFIX \
+    --checkpoint_path $ROOT/train_$ARM$SUFFIX \
     --run_once --eval_batch_size 25 --image_width $W --image_height $H \
     --compute_dtype bfloat16
   ;;

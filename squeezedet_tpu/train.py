@@ -75,6 +75,25 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         '(0 = config default 10000). Scale by '
                         'batch_ref/batch when raising the batch size '
                         'so decay happens at the same epoch.')
+    p.add_argument('--loss_coef_conf_pos', type=float, default=0.0,
+                   help='Override LOSS_COEF_CONF_POS (reference 75 at '
+                        'batch 20). The reference conf loss normalizes '
+                        'its positive term by the BATCH-TOTAL object '
+                        'count then means over the batch '
+                        '(nn_skeleton.py:302-314), so the effective '
+                        'positive-confidence weight scales as 1/batch: '
+                        'large-batch recipes must scale this '
+                        'coefficient linearly with batch size or the '
+                        'confidence head trains batch/20x slower than '
+                        'the rest of the loss (see PARITY.md '
+                        '"Large-batch training recipe").')
+    p.add_argument('--loss_coef_conf_neg', type=float, default=0.0,
+                   help='Override LOSS_COEF_CONF_NEG (batch-invariant; '
+                        'exposed for sweeps).')
+    p.add_argument('--loss_coef_class', type=float, default=0.0,
+                   help='Override LOSS_COEF_CLASS (batch-invariant).')
+    p.add_argument('--loss_coef_bbox', type=float, default=0.0,
+                   help='Override LOSS_COEF_BBOX (batch-invariant).')
     p.add_argument('--no_augmentation', action='store_true',
                    help='Disable drift/flip data augmentation '
                         '(mc.DATA_AUGMENTATION).')
@@ -193,6 +212,11 @@ def main(argv=None):
         cfg = cfg.replace(lr_warmup_steps=args.lr_warmup_steps)
     if args.decay_steps:
         cfg = cfg.replace(decay_steps=args.decay_steps)
+    for coef in ('loss_coef_conf_pos', 'loss_coef_conf_neg',
+                 'loss_coef_class', 'loss_coef_bbox'):
+        val = getattr(args, coef)
+        if val:
+            cfg = cfg.replace(**{coef: val})
     if args.native_loader:
         from squeezedet_tpu.native import dataloader as ndl
         ndl.build()

@@ -119,6 +119,61 @@ def test_loss_matches_numpy_oracle(cfg, rng):
         float(got.total), sum(want), rtol=1e-4)
 
 
+def test_conf_pos_weight_scales_inversely_with_batch(cfg, rng):
+    """Reference semantics worth knowing before scaling the batch: the
+    conf loss normalizes its POSITIVE term by the batch-total object
+    count and then means over the batch (nn_skeleton.py:302-314), so
+    duplicating the batch HALVES the positive-confidence contribution
+    while class/bbox (per-object sums / total objects) and the
+    negative conf term are batch-invariant.  Large-batch recipes must
+    therefore scale LOSS_COEF_CONF_POS linearly with batch size
+    (--loss_coef_conf_pos; PARITY.md large-batch recipe) or the conf
+    head trains batch/20x slower than the rest of the loss."""
+    preds, tg = _make_inputs(cfg, rng)
+
+    def loss(preds_np, tg_in, conf_neg=0.0):
+        interp = interpret(jnp.asarray(preds_np),
+                           jnp.asarray(cfg.anchor_box, jnp.float32),
+                           num_classes=cfg.classes,
+                           anchor_per_grid=cfg.anchor_per_grid,
+                           image_width=cfg.image_width,
+                           image_height=cfg.image_height,
+                           exp_thresh=cfg.exp_thresh)
+        return detection_loss(
+            interp, tg_in, num_anchors=cfg.anchors,
+            loss_coef_class=cfg.loss_coef_class,
+            loss_coef_conf_pos=cfg.loss_coef_conf_pos,
+            loss_coef_conf_neg=conf_neg,
+            loss_coef_bbox=cfg.loss_coef_bbox, epsilon=cfg.epsilon)
+
+    dup = lambda x: jnp.concatenate([x, x], axis=0)
+    lb1 = loss(preds, tg)  # conf_neg=0 isolates the positive term
+    lb2 = loss(np.concatenate([preds, preds]), Targets(*map(dup, tg)))
+    np.testing.assert_allclose(float(lb2.class_loss),
+                               float(lb1.class_loss), rtol=1e-5)
+    np.testing.assert_allclose(float(lb2.bbox_loss),
+                               float(lb1.bbox_loss), rtol=1e-5)
+    np.testing.assert_allclose(float(lb2.conf_loss),
+                               float(lb1.conf_loss) / 2.0, rtol=1e-4)
+    # doubling the coefficient restores the duplicated batch's conf term
+    cfg2x = cfg.replace(loss_coef_conf_pos=cfg.loss_coef_conf_pos * 2)
+    interp2 = interpret(jnp.asarray(np.concatenate([preds, preds])),
+                        jnp.asarray(cfg.anchor_box, jnp.float32),
+                        num_classes=cfg.classes,
+                        anchor_per_grid=cfg.anchor_per_grid,
+                        image_width=cfg.image_width,
+                        image_height=cfg.image_height,
+                        exp_thresh=cfg.exp_thresh)
+    lb2x = detection_loss(
+        interp2, Targets(*map(dup, tg)), num_anchors=cfg.anchors,
+        loss_coef_class=cfg.loss_coef_class,
+        loss_coef_conf_pos=cfg2x.loss_coef_conf_pos,
+        loss_coef_conf_neg=0.0,
+        loss_coef_bbox=cfg.loss_coef_bbox, epsilon=cfg.epsilon)
+    np.testing.assert_allclose(float(lb2x.conf_loss),
+                               float(lb1.conf_loss), rtol=1e-4)
+
+
 def test_conf_target_is_stop_gradient(cfg, rng):
     """The IoU conf target must not backprop into the box path — in the
     reference it flows through a non-trainable Variable assign

@@ -12,6 +12,14 @@
 # on an EQUAL SAMPLE BUDGET (48k images), and require val mAP within
 # noise of the batch-16 control trained on the same dataset.
 #
+# CRITICAL large-batch ingredient (measured, PARITY.md): the reference
+# conf loss normalizes its positive term by the BATCH-TOTAL object
+# count then means over the batch (nn_skeleton.py:302-314), so the
+# positive-confidence weight scales as 1/batch — LOSS_COEF_CONF_POS
+# must scale linearly with batch (75 * 128/16 = 600 here) or the conf
+# head trains 8x slower than the rest of the loss and val mAP craters
+# (0.80 vs 0.89+ on this fixture).
+#
 #   ARM=control  -> batch 16,  lr 0.001, 3000 steps
 #   ARM=large    -> batch 128, lr 0.008, warmup 40, 375 steps
 #
@@ -45,12 +53,14 @@ PY
 train)
   if [ "$ARM" = control ]; then
     BS=16; LR=0.001; WARM=0; DECAY=10000; STEPS=3000; CKPT=1000
+    COEF=""
   else
     BS=128; LR=0.008; WARM=40; DECAY=1250; STEPS=375; CKPT=125
+    COEF="--loss_coef_conf_pos 600"
   fi
-  EXTRA=""
+  EXTRA="$COEF"
   SUFFIX=""
-  if [ -n "$DS" ]; then EXTRA="--device_dataset"; SUFFIX="_ds"; fi
+  if [ -n "$DS" ]; then EXTRA="$EXTRA --device_dataset"; SUFFIX="_ds"; fi
   squeezedet-train --data_path $DATA --image_set train \
     --train_dir $ROOT/train_$ARM$SUFFIX --image_width $W --image_height $H \
     --batch_size $BS --learning_rate $LR --lr_warmup_steps $WARM \

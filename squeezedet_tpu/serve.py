@@ -345,8 +345,16 @@ def main(argv=None):
                                max_queue=max_queue)
         handler = make_handler(lambda im1: batcher.submit(im1[0]),
                                meta, prob_thresh)
-        server = http.server.ThreadingHTTPServer(
-            (args.host, args.port), handler)
+
+        # The stdlib default accept backlog (5) resets connections
+        # under burst overload BEFORE the handler can shed with a
+        # clean 503 + Retry-After (measured: 47/384 raw conn_errors at
+        # 64 concurrent clients).  Deep-enough listen queue lets every
+        # request reach the app-level load policy.
+        class _Server(http.server.ThreadingHTTPServer):
+            request_queue_size = 128
+
+        server = _Server((args.host, args.port), handler)
     else:
         server = http.server.HTTPServer(
             (args.host, args.port), make_handler(run, meta, prob_thresh))

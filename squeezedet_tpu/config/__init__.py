@@ -18,6 +18,7 @@ from squeezedet_tpu.config.kitti import (  # noqa: F401
     kitti_squeezedet_config,
     kitti_squeezedet_plus_config,
     kitti_vgg16_config,
+    scale_recipe_to_batch,
     tiny_test_config,
 )
 

@@ -159,6 +159,42 @@ def config_for_net_at(net: str, image_width: int = 0,
                                image_height or base.image_height)
 
 
+def scale_recipe_to_batch(cfg: ModelConfig, batch_size: int,
+                          warmup_frac: float = 0.1,
+                          total_steps: int = 0) -> ModelConfig:
+    """Rescale a config's training recipe to a different batch size.
+
+    The measured large-batch rule (PARITY.md "Large-batch training
+    recipe"), treating ``cfg``'s recipe as tuned at ``cfg.batch_size``:
+
+    * ``learning_rate`` scales linearly with batch (Goyal et al.'s
+      linear-scaling rule);
+    * ``decay_steps`` scales inversely, so the staircase decay fires
+      at the same SAMPLE count;
+    * ``loss_coef_conf_pos`` scales linearly — the reference conf loss
+      normalizes its positive term by the batch-total object count and
+      then means over the batch (nn_skeleton.py:302-314), making the
+      effective positive-confidence weight ∝ 1/batch; without this
+      rescale the confidence head trains batch/old_batch times slower
+      than the class/bbox terms and val mAP collapses with
+      healthy-looking loss curves;
+    * ``lr_warmup_steps`` = warmup_frac * total_steps when
+      ``total_steps`` is given (large-batch SGD needs the ramp).
+
+    Validated at the flagship geometry: batch 16 -> 128 lands inside
+    the batch-16 control's seed spread on an equal sample budget.
+    """
+    r = batch_size / cfg.batch_size
+    return cfg.replace(
+        batch_size=batch_size,
+        learning_rate=cfg.learning_rate * r,
+        decay_steps=max(1, int(round(cfg.decay_steps / r))),
+        loss_coef_conf_pos=cfg.loss_coef_conf_pos * r,
+        lr_warmup_steps=(int(round(warmup_frac * total_steps))
+                         if total_steps else cfg.lr_warmup_steps),
+    )
+
+
 def tiny_test_config(
     net: str = "squeezeDet",
     image_width: int = 96,

@@ -73,3 +73,24 @@ def test_custom_resolution_config():
     assert cfg.anchors == 40 * 12 * 9
     cfg_p = custom_kitti_config("squeezeDet+", 1242, 375)
     assert (cfg_p.grid_w, cfg_p.grid_h) == (76, 22)  # matches reference
+
+
+def test_scale_recipe_to_batch():
+    """Large-batch rescale rule (PARITY.md): LR and the conf-pos
+    coefficient scale linearly with batch, decay_steps inversely (the
+    staircase fires at the same sample count), warmup from the step
+    budget."""
+    from squeezedet_tpu.config import (kitti_squeezedet_config,
+                                       scale_recipe_to_batch)
+    cfg = kitti_squeezedet_config()  # batch 20, lr 0.01, conf_pos 75
+    big = scale_recipe_to_batch(cfg, 160, total_steps=400)
+    assert big.batch_size == 160
+    np.testing.assert_allclose(big.learning_rate, cfg.learning_rate * 8)
+    np.testing.assert_allclose(big.loss_coef_conf_pos,
+                               cfg.loss_coef_conf_pos * 8)
+    assert big.decay_steps == cfg.decay_steps // 8
+    assert big.lr_warmup_steps == 40
+    # other loss terms are batch-invariant and must not move
+    assert big.loss_coef_bbox == cfg.loss_coef_bbox
+    assert big.loss_coef_conf_neg == cfg.loss_coef_conf_neg
+    assert big.loss_coef_class == cfg.loss_coef_class

@@ -21,7 +21,12 @@
 # (0.80 vs 0.89+ on this fixture).
 #
 #   ARM=control  -> batch 16,  lr 0.001, 3000 steps
-#   ARM=large    -> batch 128, lr 0.008, warmup 40, 375 steps
+#   ARM=large    -> batch 128 via --recipe_batch 128 on the batch-16
+#                   base recipe (lr 0.008, decay 1250, conf_pos 600,
+#                   ~10% warmup = 38 steps), 375 steps
+#
+# SEED=n selects the arm's seed (default 0); train dirs are suffixed
+# _s<n> for n > 0 so multi-seed validation runs coexist.
 #
 # Both arms: bf16, --device_assign --uint8_ingest, drift/flip
 # augmentation, disjoint 256-image train / 75-image val synthetic
@@ -52,30 +57,36 @@ PY
   ;;
 train)
   if [ "$ARM" = control ]; then
-    BS=16; LR=0.001; WARM=0; DECAY=10000; STEPS=3000; CKPT=1000
-    COEF=""
+    STEPS=3000; CKPT=1000
+    RECIPE=""
   else
-    BS=128; LR=0.008; WARM=40; DECAY=1250; STEPS=375; CKPT=125
-    COEF="--loss_coef_conf_pos 600"
+    STEPS=375; CKPT=125
+    # the validated rescale rule as ONE flag (config.scale_recipe_to_batch):
+    # lr 0.001*8=0.008, decay 10000/8=1250, conf_pos 75*8=600, warmup 38
+    RECIPE="--recipe_batch 128"
   fi
-  EXTRA="$COEF"
+  EXTRA="$RECIPE"
   SUFFIX=""
   if [ -n "$DS" ]; then EXTRA="$EXTRA --device_dataset"; SUFFIX="_ds"; fi
+  SEED=${SEED:-0}
+  if [ "$SEED" != 0 ]; then SUFFIX="${SUFFIX}_s$SEED"; fi
   squeezedet-train --data_path $DATA --image_set train \
     --train_dir $ROOT/train_$ARM$SUFFIX --image_width $W --image_height $H \
-    --batch_size $BS --learning_rate $LR --lr_warmup_steps $WARM \
-    --decay_steps $DECAY --max_steps $STEPS --checkpoint_step $CKPT \
+    --batch_size 16 --learning_rate 0.001 \
+    --max_steps $STEPS --checkpoint_step $CKPT \
     --device_assign --uint8_ingest --compute_dtype bfloat16 \
-    --image_cache_mb 768 --seed 0 $EXTRA
+    --image_cache_mb 768 --seed $SEED $EXTRA
   ;;
 eval)
   SUFFIX=""
   if [ -n "$DS" ]; then SUFFIX="_ds"; fi
+  SEED=${SEED:-0}
+  if [ "$SEED" != 0 ]; then SUFFIX="${SUFFIX}_s$SEED"; fi
   squeezedet-eval --data_path $DATA --image_set val \
     --eval_dir $ROOT/eval_$ARM$SUFFIX \
     --checkpoint_path $ROOT/train_$ARM$SUFFIX \
     --run_once --eval_batch_size 25 --image_width $W --image_height $H \
     --compute_dtype bfloat16
   ;;
-*) echo "usage: $0 {gen|train|eval}  [ARM=control|large]"; exit 1 ;;
+*) echo "usage: $0 {gen|train|eval}  [ARM=control|large] [SEED=n] [DS=1]"; exit 1 ;;
 esac

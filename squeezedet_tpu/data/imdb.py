@@ -634,6 +634,12 @@ class Imdb:
         for i, idx in enumerate(self._image_idx):
             im = self._imread(idx)
             out[i, :im.shape[0], :im.shape[1]] = im
+            # Record the DECODED extents as the authoritative size: the
+            # plan-row reader (read_batch_plan_rows) scales GT by
+            # _image_size, and a header that disagrees with the decode
+            # (e.g. an EXIF-rotated JPEG) would silently diverge the GT
+            # rows from the pixels resident in this stack.
+            self._size_cache[idx] = (im.shape[1], im.shape[0])
         return out
 
     def dataset_position(self, idx: str) -> int:

@@ -200,9 +200,14 @@ def detection_loss(interp: Interpretation, targets: Targets, *,
         _center_to_corners(targets.box_input),
         mask, epsilon)
     ious = jax.lax.stop_gradient(ious)
+    # The reference denominator mixes the PER-IMAGE anchor count with
+    # the BATCH-TOTAL object count (nn_skeleton.py:311-313), so on
+    # small-anchor-count geometries at large batch it can cross zero and
+    # silently flip the negative term's sign; clamp to 1 (a no-op in
+    # every reference-recipe regime, where num_objects << num_anchors).
     conf_weight = (mask * loss_coef_conf_pos / num_objects
                    + (1 - mask) * loss_coef_conf_neg
-                   / (num_anchors - num_objects))
+                   / jnp.maximum(num_anchors - num_objects, 1.0))
     conf_loss = jnp.mean(
         jnp.sum(jnp.square(ious - interp.pred_conf) * conf_weight, axis=1))
 

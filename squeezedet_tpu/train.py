@@ -75,7 +75,24 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         '(0 = config default 10000). Scale by '
                         'batch_ref/batch when raising the batch size '
                         'so decay happens at the same epoch.')
-    p.add_argument('--loss_coef_conf_pos', type=float, default=0.0,
+    p.add_argument('--recipe_batch', type=int, default=0,
+                   help='Rescale the whole training recipe to this '
+                        'batch size via config.scale_recipe_to_batch: '
+                        'linear LR scaling, decay_steps shrunk to the '
+                        'same sample count, LOSS_COEF_CONF_POS scaled '
+                        'linearly (the reference conf loss makes the '
+                        'positive-confidence weight ~1/batch, '
+                        'nn_skeleton.py:302-314), and ~10%% linear LR '
+                        'warmup of --max_steps. The base recipe is the '
+                        'config AFTER --batch_size/--learning_rate '
+                        'overrides; the explicit --decay_steps/'
+                        '--lr_warmup_steps/--loss_coef_* flags still '
+                        'win over the derived values. This is the one '
+                        'flag that makes large-batch training safe — '
+                        'without the conf_pos rescale, val mAP '
+                        'collapses under healthy-looking train logs '
+                        '(PARITY.md "Large-batch training recipe").')
+    p.add_argument('--loss_coef_conf_pos', type=float, default=None,
                    help='Override LOSS_COEF_CONF_POS (reference 75 at '
                         'batch 20). The reference conf loss normalizes '
                         'its positive term by the BATCH-TOTAL object '
@@ -87,12 +104,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         'confidence head trains batch/20x slower than '
                         'the rest of the loss (see PARITY.md '
                         '"Large-batch training recipe").')
-    p.add_argument('--loss_coef_conf_neg', type=float, default=0.0,
+    p.add_argument('--loss_coef_conf_neg', type=float, default=None,
                    help='Override LOSS_COEF_CONF_NEG (batch-invariant; '
-                        'exposed for sweeps).')
-    p.add_argument('--loss_coef_class', type=float, default=0.0,
+                        'exposed for sweeps — 0 is a valid ablation).')
+    p.add_argument('--loss_coef_class', type=float, default=None,
                    help='Override LOSS_COEF_CLASS (batch-invariant).')
-    p.add_argument('--loss_coef_bbox', type=float, default=0.0,
+    p.add_argument('--loss_coef_bbox', type=float, default=None,
                    help='Override LOSS_COEF_BBOX (batch-invariant).')
     p.add_argument('--no_augmentation', action='store_true',
                    help='Disable drift/flip data augmentation '
@@ -181,20 +198,16 @@ def build_arg_parser() -> argparse.ArgumentParser:
     return p
 
 
-def main(argv=None):
-    args = build_arg_parser().parse_args(argv)
-    assert args.dataset in ('KITTI', 'VOC', 'PASCAL_VOC'), \
-        'Only KITTI and VOC datasets are supported'
-    if args.compilation_cache:
-        from squeezedet_tpu.utils.util import enable_compilation_cache
-        enable_compilation_cache(args.compilation_cache)
+def config_from_args(args):
+    """Resolve the training ModelConfig from parsed CLI flags.
 
+    Split out of :func:`main` so the CLI's recipe semantics are testable:
+    the ``--recipe_batch`` flag must equal the
+    ``config.scale_recipe_to_batch`` API applied to the base recipe
+    (after --batch_size/--learning_rate), with the explicit
+    --decay_steps/--lr_warmup_steps/--loss_coef_* flags winning over the
+    derived values (tests/test_train.py pins CLI == API)."""
     from squeezedet_tpu.config.voc import config_for_dataset
-    from squeezedet_tpu.data import imdb_for_dataset
-    from squeezedet_tpu.models import get_model
-    from squeezedet_tpu.parallel.mesh import make_mesh
-    from squeezedet_tpu.summary import SummaryWriter
-    from squeezedet_tpu.trainer import train
 
     cfg = config_for_dataset(args.dataset, args.net, args.image_width,
                              args.image_height)
@@ -208,6 +221,10 @@ def main(argv=None):
         cfg = cfg.replace(data_augmentation=False)
     if args.learning_rate:
         cfg = cfg.replace(learning_rate=args.learning_rate)
+    if args.recipe_batch:
+        from squeezedet_tpu.config.kitti import scale_recipe_to_batch
+        cfg = scale_recipe_to_batch(cfg, args.recipe_batch,
+                                    total_steps=args.max_steps)
     if args.lr_warmup_steps:
         cfg = cfg.replace(lr_warmup_steps=args.lr_warmup_steps)
     if args.decay_steps:
@@ -215,16 +232,34 @@ def main(argv=None):
     for coef in ('loss_coef_conf_pos', 'loss_coef_conf_neg',
                  'loss_coef_class', 'loss_coef_bbox'):
         val = getattr(args, coef)
-        if val:
+        if val is not None:
             cfg = cfg.replace(**{coef: val})
-    if args.native_loader:
-        from squeezedet_tpu.native import dataloader as ndl
-        ndl.build()
-        cfg = cfg.replace(use_native_loader=True)
     if args.image_cache_mb:
         cfg = cfg.replace(image_cache_mb=args.image_cache_mb)
     if args.compute_dtype:
         cfg = cfg.replace(compute_dtype=args.compute_dtype)
+    return cfg
+
+
+def main(argv=None):
+    args = build_arg_parser().parse_args(argv)
+    assert args.dataset in ('KITTI', 'VOC', 'PASCAL_VOC'), \
+        'Only KITTI and VOC datasets are supported'
+    if args.compilation_cache:
+        from squeezedet_tpu.utils.util import enable_compilation_cache
+        enable_compilation_cache(args.compilation_cache)
+
+    from squeezedet_tpu.data import imdb_for_dataset
+    from squeezedet_tpu.models import get_model
+    from squeezedet_tpu.parallel.mesh import make_mesh
+    from squeezedet_tpu.summary import SummaryWriter
+    from squeezedet_tpu.trainer import train
+
+    cfg = config_from_args(args)
+    if args.native_loader:
+        from squeezedet_tpu.native import dataloader as ndl
+        ndl.build()
+        cfg = cfg.replace(use_native_loader=True)
 
     import jax
 

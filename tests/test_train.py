@@ -985,3 +985,46 @@ def test_dispatch_cadences_unit(cfg, tmp_path, capsys):
     with pytest.raises(AssertionError, match="diverged"):
         _dispatch_cadences(range(4, 5), lb_scalar(float("nan")),
                            summary_writer=None, **common)
+
+
+def test_recipe_batch_cli_equals_api():
+    """--recipe_batch N must equal scale_recipe_to_batch applied to the
+    base recipe (the flag exists so the silent-mAP-collapse footgun —
+    forgetting the conf_pos rescale — is one flag away from impossible)."""
+    from squeezedet_tpu.config.kitti import scale_recipe_to_batch
+    from squeezedet_tpu.train import build_arg_parser, config_from_args
+
+    base_argv = ['--batch_size', '16', '--learning_rate', '0.001',
+                 '--max_steps', '375']
+    p = build_arg_parser()
+    cfg_base = config_from_args(p.parse_args(base_argv))
+    cfg_cli = config_from_args(
+        p.parse_args(base_argv + ['--recipe_batch', '128']))
+    cfg_api = scale_recipe_to_batch(cfg_base, 128, total_steps=375)
+    assert cfg_cli.batch_size == cfg_api.batch_size == 128
+    assert cfg_cli.learning_rate == cfg_api.learning_rate == pytest.approx(
+        0.008)
+    assert cfg_cli.decay_steps == cfg_api.decay_steps == 1250
+    assert cfg_cli.loss_coef_conf_pos == cfg_api.loss_coef_conf_pos \
+        == pytest.approx(600.0)
+    assert cfg_cli.lr_warmup_steps == cfg_api.lr_warmup_steps == 38
+
+    # explicit expert flags still win over the derived values
+    cfg_over = config_from_args(p.parse_args(
+        base_argv + ['--recipe_batch', '128', '--lr_warmup_steps', '40',
+                     '--loss_coef_conf_pos', '500']))
+    assert cfg_over.lr_warmup_steps == 40
+    assert cfg_over.loss_coef_conf_pos == pytest.approx(500.0)
+
+
+def test_loss_coef_zero_override_respected():
+    """An explicit --loss_coef_conf_neg 0 is a meaningful ablation and
+    must not be swallowed by a truthiness check (advisor r4)."""
+    from squeezedet_tpu.train import build_arg_parser, config_from_args
+
+    p = build_arg_parser()
+    cfg = config_from_args(p.parse_args(['--loss_coef_conf_neg', '0']))
+    assert cfg.loss_coef_conf_neg == 0.0
+    # and leaving it unset keeps the config default
+    cfg = config_from_args(p.parse_args([]))
+    assert cfg.loss_coef_conf_neg == 100.0

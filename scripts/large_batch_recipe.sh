@@ -59,6 +59,11 @@ train)
   if [ "$ARM" = control ]; then
     STEPS=3000; CKPT=1000
     RECIPE=""
+  elif [ "$ARM" = large64 ]; then
+    # batch-64 point on the same 48k-sample budget: lr 0.004,
+    # decay 2500, conf_pos 300, warmup 75
+    STEPS=750; CKPT=250
+    RECIPE="--recipe_batch 64"
   else
     STEPS=375; CKPT=125
     # the validated rescale rule as ONE flag (config.scale_recipe_to_batch):

@@ -179,6 +179,73 @@ class Imdb:
         with self._lock:
             self._shuffle_image_idx()
 
+    # -- data-axis sharding (device-resident dataset over a mesh) -----------
+    def shard_data(self, num_shards: int) -> None:
+        """Switch the sampler to per-shard drawing for a canvas stack
+        SHARDED over a mesh's ``data`` axis (--device_dataset on >1
+        data-parallel devices): the image list is partitioned into
+        ``num_shards`` strided shards (shard s = images[s::D]) and every
+        batch is the concatenation, shard-major, of batch_size/D draws
+        from each shard's own epoch permutation.
+
+        Slot group s of each batch then only ever references shard s's
+        images, so the device holding data-axis coordinate s gathers its
+        canvas rows LOCALLY — no collective in the gather, and N devices
+        hold N× the dataset instead of N replicas (the round-4 mode
+        replicated the full stack into every chip's HBM).  The stream is
+        a deterministic function of (seed, num_shards) alone — process
+        topology does not enter — so a 2-host × k-device run and a
+        single-host run over the same mesh consume bit-identical
+        batches (pinned by test_multihost).
+
+        The reference analog is the topology-agnostic input pipeline
+        (train.py:254-262): any chip count feeds from the same dataset.
+        """
+        if num_shards <= 1:
+            return
+        with self._lock:
+            assert not hasattr(self, "_data_shards"), \
+                "shard_data called twice"
+            if self.mc.batch_size % num_shards:
+                raise ValueError(
+                    "batch_size={} not divisible by the {} data shards "
+                    "of the mesh".format(self.mc.batch_size, num_shards))
+            # canvas extents must be pinned over the FULL list (every
+            # shard is a slice of one global stack)
+            self.canvas_size()
+            shards = [self._image_idx[s::num_shards]
+                      for s in range(num_shards)]
+            per = self.mc.batch_size // num_shards
+            for s, shard in enumerate(shards):
+                if per > len(shard):
+                    raise ValueError(
+                        "per-shard batch {} exceeds the {} images of "
+                        "data shard {}/{}".format(per, len(shard), s,
+                                                  num_shards))
+            self._data_shards = shards
+            # padded row stride of the shard-major canvas stack
+            self._shard_rows = max(len(s) for s in shards)
+            # positions switch to the shard-major padded layout
+            if hasattr(self, "_dataset_pos"):
+                del self._dataset_pos
+            self._shard_perm_order = [None] * num_shards
+            self._shard_perm_idx = [None] * num_shards
+            self._shard_cur = [0] * num_shards
+            # initial epoch permutations, drawn in shard order
+            for s in range(num_shards):
+                self._shuffle_shard(s)
+
+    @property
+    def num_data_shards(self) -> int:
+        return len(getattr(self, "_data_shards", ()) or ()) or 1
+
+    def _shuffle_shard(self, s: int) -> None:
+        shard = self._data_shards[s]
+        perm = self._rng.permutation(np.arange(len(shard)))
+        self._shard_perm_order[s] = perm
+        self._shard_perm_idx[s] = [shard[i] for i in perm]
+        self._shard_cur[s] = 0
+
     def sampler_state(self) -> Dict[str, np.ndarray]:
         """Snapshot of the input-stream position as plain arrays: the
         epoch permutation, the cursor, and the augmentation RNG.  Saved
@@ -199,7 +266,7 @@ class Imdb:
     def _sampler_state_locked(self) -> Dict[str, np.ndarray]:
         key, pos, has_gauss, cached = self._rng.get_state()[1:]
         perm = getattr(self, "_perm_order", None)
-        return {
+        state = {
             "perm_order": (np.asarray(perm, np.int64)
                            if perm is not None
                            else np.zeros((0,), np.int64)),
@@ -209,6 +276,15 @@ class Imdb:
             "rng_has_gauss": np.asarray(has_gauss, np.int64),
             "rng_cached_gaussian": np.asarray(cached, np.float64),
         }
+        if getattr(self, "_data_shards", None):
+            d = len(self._data_shards)
+            perm2 = np.full((d, self._shard_rows), -1, np.int64)
+            for s in range(d):
+                p = self._shard_perm_order[s]
+                perm2[s, :len(p)] = p
+            state["shard_perm_order"] = perm2
+            state["shard_cur"] = np.asarray(self._shard_cur, np.int64)
+        return state
 
     def set_sampler_state(self, state: Dict[str, np.ndarray]) -> None:
         """Restore a :meth:`sampler_state` snapshot (inverse op)."""
@@ -221,6 +297,23 @@ class Imdb:
                 self._perm_order = perm
                 self._perm_idx = [self._image_idx[i] for i in perm]
             self._cur_idx = int(state["cur_idx"])
+            if "shard_perm_order" in state and \
+                    np.asarray(state["shard_perm_order"]).size:
+                assert getattr(self, "_data_shards", None), (
+                    "sampler state is data-sharded; call shard_data() "
+                    "before restoring it")
+                perm2 = np.asarray(state["shard_perm_order"], np.int64)
+                assert perm2.shape[0] == len(self._data_shards), (
+                    "sampler state has {} data shards, this imdb has "
+                    "{}".format(perm2.shape[0], len(self._data_shards)))
+                for s in range(perm2.shape[0]):
+                    p = perm2[s][perm2[s] >= 0]
+                    assert p.size == len(self._data_shards[s])
+                    self._shard_perm_order[s] = p
+                    self._shard_perm_idx[s] = [
+                        self._data_shards[s][i] for i in p]
+                self._shard_cur = [
+                    int(c) for c in np.asarray(state["shard_cur"])]
             self._rng.set_state(
                 ("MT19937", np.asarray(state["rng_key"], np.uint32),
                  int(state["rng_pos"]), int(state["rng_has_gauss"]),
@@ -240,6 +333,17 @@ class Imdb:
 
     def _next_batch_idx_locked(self, shuffle: bool) -> List[str]:
         mc = self.mc
+        if shuffle and getattr(self, "_data_shards", None):
+            # per-shard windows, concatenated shard-major (shard_data)
+            per = mc.batch_size // len(self._data_shards)
+            batch_idx: List[str] = []
+            for s in range(len(self._data_shards)):
+                if self._shard_cur[s] + per >= len(self._data_shards[s]):
+                    self._shuffle_shard(s)
+                batch_idx.extend(self._shard_perm_idx[s][
+                    self._shard_cur[s]:self._shard_cur[s] + per])
+                self._shard_cur[s] += per
+            return batch_idx
         if shuffle:
             # the epoch window below takes a straight slice of the
             # permutation (reference imdb.py:115-121), so a batch can
@@ -628,8 +732,11 @@ class Imdb:
         HBM next to a <30 MB model (KITTI train: 3741 x 1242x375x3 =
         5.2 GB vs 16 GB on v5e).
         """
-        n = len(self._image_idx)
         h0, w0 = self.canvas_size()
+        if getattr(self, "_data_shards", None):
+            return self.load_canvas_shards(
+                range(len(self._data_shards)))
+        n = len(self._image_idx)
         out = np.zeros((n, h0, w0, 3), np.uint8)
         for i, idx in enumerate(self._image_idx):
             im = self._imread(idx)
@@ -642,11 +749,41 @@ class Imdb:
             self._size_cache[idx] = (im.shape[1], im.shape[0])
         return out
 
+    def load_canvas_shards(self, shard_ids) -> np.ndarray:
+        """Canvas stack block for the given data shards (shard_data),
+        shard-major and PADDED so every shard occupies exactly
+        ``_shard_rows`` rows — the fixed per-device row count the
+        mesh-sharded gather relies on.  Multihost controllers call this
+        with just their own devices' shard ids, so each host decodes
+        and uploads only 1/P of the split."""
+        assert getattr(self, "_data_shards", None), \
+            "load_canvas_shards requires shard_data()"
+        h0, w0 = self.canvas_size()
+        shard_ids = list(shard_ids)
+        out = np.zeros((len(shard_ids) * self._shard_rows, h0, w0, 3),
+                       np.uint8)
+        for block, s in enumerate(shard_ids):
+            for i, idx in enumerate(self._data_shards[s]):
+                im = self._imread(idx)
+                out[block * self._shard_rows + i,
+                    :im.shape[0], :im.shape[1]] = im
+                self._size_cache[idx] = (im.shape[1], im.shape[0])
+        return out
+
     def dataset_position(self, idx: str) -> int:
-        """Row of ``idx`` in :meth:`load_canvas_dataset`'s stack."""
+        """Row of ``idx`` in :meth:`load_canvas_dataset`'s stack (under
+        shard_data: the padded shard-major position
+        ``shard * _shard_rows + row_within_shard``)."""
         if not hasattr(self, "_dataset_pos"):
-            self._dataset_pos = {
-                image_id: i for i, image_id in enumerate(self._image_idx)}
+            if getattr(self, "_data_shards", None):
+                self._dataset_pos = {
+                    image_id: s * self._shard_rows + i
+                    for s, shard in enumerate(self._data_shards)
+                    for i, image_id in enumerate(shard)}
+            else:
+                self._dataset_pos = {
+                    image_id: i
+                    for i, image_id in enumerate(self._image_idx)}
         return self._dataset_pos[idx]
 
     def read_batch_plan_rows(self, shuffle: bool = True, max_gt: int = 48,

@@ -186,6 +186,41 @@ def run_flagship(n_devices: int, devices) -> None:
     print("flagship 1248x384 1-D data-parallel step OK: loss = "
           "{:.4f}".format(total1))
 
+    # (c) device-resident dataset SHARDED over the data axis at the
+    # flagship geometry: each device holds its own rows of the canvas
+    # stack (N chips hold N× the dataset, not N replicas) and the
+    # shard-local gather feeds the on-device augment pipeline.  The
+    # canvas stack must never be all-gathered (asserted on the HLO).
+    from squeezedet_tpu.parallel.mesh import dataset_sharding
+    rows = 2
+    stack = rng.randint(
+        0, 255, (n_devices * rows, cfg.image_height, cfg.image_width, 3)
+    ).astype(np.uint8)
+    pos = np.asarray([s * rows for s in range(n_devices)], np.int32)
+    aug = np.zeros((n_devices, 5), np.float32)
+    aug[:, 3], aug[:, 4] = cfg.image_width, cfg.image_height
+    step_ds = make_train_step_device(det, tx, mesh=mesh1, donate=False,
+                                     device_dataset=True)
+    rep1, data1 = replicated_sharding(mesh1), batch_sharding(mesh1)
+    args_ds = (jax.device_put(params, rep1),
+               jax.device_put(opt_state, rep1),
+               jax.device_put(stack, dataset_sharding(mesh1)),
+               jax.device_put(pos, data1), jax.device_put(aug, data1),
+               jax.device_put(jnp.asarray(gt), data1),
+               jax.device_put(jnp.asarray(labels), data1),
+               jax.device_put(jnp.asarray(num_gt), data1),
+               jax.random.key(1))
+    compiled_ds = step_ds.lower(*args_ds).compile()
+    hlo_ds = compiled_ds.as_text()
+    assert "all-gather" not in hlo_ds, (
+        "sharded device-dataset program all-gathers — the canvas "
+        "gather was supposed to be shard-local")
+    _, _, lb_ds = compiled_ds(*args_ds)
+    total_ds = float(lb_ds.total)
+    assert np.isfinite(total_ds), "flagship sharded-dataset loss diverged"
+    print("flagship 1248x384 sharded device-dataset step OK: "
+          "shard-local gather, loss = {:.4f}".format(total_ds))
+
     if n_devices >= 4 and n_devices % 2 == 0:
         # (b) 2-D data x spatial at full resolution
         mesh2 = make_mesh_2d(2, n_devices // 2, devices=devices)

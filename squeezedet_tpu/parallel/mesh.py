@@ -114,6 +114,83 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def data_axis_size(mesh: Optional[Mesh]) -> int:
+    """Extent of the mesh's ``data`` axis (1 when absent or no mesh)."""
+    if mesh is None:
+        return 1
+    return int(mesh.shape.get("data", 1))
+
+
+def dataset_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for the device-resident canvas stack [N, H0, W0, 3]:
+    rows over ``data`` (each data-parallel device holds its own
+    1/D slice of the split — imdb.shard_data's shard-major padded
+    layout), replicated over any spatial axes."""
+    names = mesh.axis_names
+    return NamedSharding(mesh, P("data" if "data" in names else None))
+
+
+def local_data_coords(mesh: Mesh):
+    """This process's coordinates along the mesh ``data`` axis.
+
+    Used by multihost --device_dataset: host p decodes and uploads the
+    canvas shards for exactly these coordinates (imdb.load_canvas_shards)
+    and feeds their slots of the global batch.  Every coordinate's
+    devices must belong to ONE process (a data shard striped across
+    hosts would make 'its' canvas rows unownable) and the coordinates
+    must be contiguous (the make_array_from_process_local_data contract:
+    per-process local blocks concatenate in process order).
+    """
+    names = mesh.axis_names
+    if "data" not in names:
+        return [0]
+    ax = names.index("data")
+    dev = np.moveaxis(mesh.devices, ax, 0)
+    dev = dev.reshape(dev.shape[0], -1)
+    pid = jax.process_index()
+    coords = []
+    for i, row in enumerate(dev):
+        procs = {d.process_index for d in row}
+        if len(procs) > 1:
+            raise ValueError(
+                "data-axis coordinate {} spans processes {}; "
+                "--device_dataset needs each data shard's devices on "
+                "one host (reorder the mesh so 'data' is the "
+                "process-major axis)".format(i, sorted(procs)))
+        if procs.pop() == pid:
+            coords.append(i)
+    assert coords == list(range(coords[0], coords[0] + len(coords))), (
+        "process-local data coordinates {} are not contiguous".format(
+            coords))
+    return coords
+
+
+def local_shard_gather(mesh: Mesh, dataset, pos):
+    """Gather canvas rows from a dataset stack sharded over ``data``.
+
+    ``dataset`` is [D*rows, H0, W0, 3] with :func:`dataset_sharding`
+    (device at data-coordinate s holds rows [s*rows, (s+1)*rows));
+    ``pos`` is [B] global row positions sharded over ``data`` whose
+    values are guaranteed in-shard by imdb.shard_data's per-shard
+    sampler (slot group s only references shard s's rows).  The gather
+    is therefore purely local — shard_map rebases the global positions
+    by the device's data coordinate and takes from the local block; no
+    collective is emitted (asserted on the HLO in test_train).
+    """
+    import jax.numpy as jnp
+    d = data_axis_size(mesh)
+    rows = dataset.shape[0] // d
+    names = mesh.axis_names
+
+    def body(ds_local, pos_local):
+        start = jax.lax.axis_index("data") * rows if d > 1 else 0
+        return jnp.take(ds_local, pos_local - start, axis=0)
+
+    spec = P("data" if "data" in names else None)
+    return jax.shard_map(body, mesh=mesh, in_specs=(spec, spec),
+                         out_specs=spec)(dataset, pos)
+
+
 def image_sharding(mesh: Mesh) -> NamedSharding:
     """Sharding for NHWC image batches: batch over ``data``, height
     over ``spatial``, width over ``spatial_w`` — whichever axes the

@@ -269,12 +269,21 @@ def main(argv=None):
 
     det = get_model(args.net, cfg)
     # per-process seed: each controller must draw its own shuffle and
-    # augmentations; same-seeded hosts would feed identical shards
+    # augmentations; same-seeded hosts would feed identical shards.
+    # EXCEPT under --device_dataset, whose sampler partitions the
+    # GLOBAL image list over the mesh's data axis (imdb.shard_data):
+    # every controller must draw the identical global plan and feed
+    # only its own devices' slots, so all hosts share one seed and the
+    # process-level image-list shed does not apply.  batch_size is then
+    # the GLOBAL batch (vs per-host for the host-sharded modes).
+    same_sampler = args.device_dataset
     imdb = imdb_for_dataset(
         args.dataset, args.image_set, args.data_path, cfg,
         year=args.year,
-        rng=np.random.RandomState(args.seed + jax.process_index()))
-    if jax.process_count() > 1:
+        rng=np.random.RandomState(
+            args.seed if same_sampler
+            else args.seed + jax.process_index()))
+    if jax.process_count() > 1 and not same_sampler:
         # disjoint strided shard of the image list per controller
         # (cfg.batch_size is the per-host batch; the global batch is
         # process_count * batch_size)

@@ -146,11 +146,19 @@ def make_train_step_device(det: Detector, tx, mesh=None,
     host->device traffic is index/aug/GT rows only (KBs vs B full
     images), so training wall speed equals device speed even on
     transfer-starved hosts (PARITY.md streaming analysis).  The
-    dataset arg is never donated; on a mesh it is replicated.
+    dataset arg is never donated.  On a mesh whose ``data`` axis has
+    D > 1 devices the stack is SHARDED over that axis (D chips hold D×
+    the dataset, not D replicas) and the gather is shard-local
+    (mesh.local_shard_gather + imdb.shard_data's per-shard sampler);
+    on a single device or data-axis-1 mesh it stays whole.
     """
     from squeezedet_tpu.data.device_pipeline import ingest_and_assign
+    from squeezedet_tpu.parallel.mesh import (data_axis_size,
+                                              dataset_sharding,
+                                              local_shard_gather)
 
     mask = det._trainable_mask_cache(None)
+    sharded_ds = device_dataset and data_axis_size(mesh) > 1
 
     def _update(params, opt_state, images, targets, rng):
         return _apply_update(det, tx, mask, params, opt_state, images,
@@ -159,7 +167,10 @@ def make_train_step_device(det: Detector, tx, mesh=None,
     if device_dataset:
         def step_fn(params, opt_state, dataset, pos, aug, gt_boxes,
                     gt_labels, num_gt, rng):
-            images = jnp.take(dataset, pos, axis=0)
+            if sharded_ds:
+                images = local_shard_gather(mesh, dataset, pos)
+            else:
+                images = jnp.take(dataset, pos, axis=0)
             images, targets = ingest_and_assign(det, images, gt_boxes,
                                                 gt_labels, num_gt,
                                                 uint8_ingest, aug=aug)
@@ -186,9 +197,11 @@ def make_train_step_device(det: Detector, tx, mesh=None,
         rep = replicated_sharding(mesh)
         data = batch_sharding(mesh)
         if device_dataset:
-            # dataset replicated (every chip holds the stack; the
-            # gather is then local), index/aug/GT rows over 'data'
-            kwargs["in_shardings"] = (rep, rep, rep) + (data,) * 5 \
+            # dataset rows over 'data' when the axis has >1 device
+            # (each chip holds its shard; the gather is shard-local),
+            # else replicated; index/aug/GT rows over 'data'
+            ds = dataset_sharding(mesh) if sharded_ds else rep
+            kwargs["in_shardings"] = (rep, rep, ds) + (data,) * 5 \
                 + (rep,)
         else:
             imgs = image_sharding(mesh)  # + height over 'spatial'
@@ -232,14 +245,21 @@ def make_train_step_device_scan(det: Detector, tx, k: int, mesh=None,
     leaves, scan order).
     """
     from squeezedet_tpu.data.device_pipeline import ingest_and_assign
+    from squeezedet_tpu.parallel.mesh import (data_axis_size,
+                                              dataset_sharding,
+                                              local_shard_gather)
 
     mask = det._trainable_mask_cache(None)
+    sharded_ds = device_dataset and data_axis_size(mesh) > 1
 
     def one_step(dataset, carry, xs):
         params, opt_state = carry
         if device_dataset:
             pos, aug, gt_boxes, gt_labels, num_gt, rng = xs
-            images = jnp.take(dataset, pos, axis=0)
+            if sharded_ds:
+                images = local_shard_gather(mesh, dataset, pos)
+            else:
+                images = jnp.take(dataset, pos, axis=0)
         elif device_augment:
             images, aug, gt_boxes, gt_labels, num_gt, rng = xs
         else:
@@ -274,7 +294,8 @@ def make_train_step_device_scan(det: Detector, tx, k: int, mesh=None,
                                                   stacked_sharding)
         data = stacked_sharding(mesh)
         if device_dataset:
-            kwargs["in_shardings"] = (rep, rep, rep) + (data,) * 5 \
+            ds = dataset_sharding(mesh) if sharded_ds else rep
+            kwargs["in_shardings"] = (rep, rep, ds) + (data,) * 5 \
                 + (rep,)
         else:
             imgs = stacked_image_sharding(mesh)
@@ -520,11 +541,6 @@ def train(det: Detector, imdb, *, train_dir: str, max_steps: int,
                       steps_per_dispatch, ", ".join(skipped)))
     if device_dataset:
         device_augment = True  # same on-device pixel pipeline
-        if jax.process_count() > 1:
-            raise ValueError(
-                "--device_dataset is single-controller for now: the "
-                "canvas stack would need host-local sharding across "
-                "processes; use --device_augment on multihost runs")
     if device_augment:
         if not device_assign:
             raise ValueError("--device_augment requires --device_assign "
@@ -542,6 +558,27 @@ def train(det: Detector, imdb, *, train_dir: str, max_steps: int,
                   "pixels on the host; skipping: {}.".format(
                       ", ".join(skipped)))
             viz_step, histogram_step, activation_summary = 0, 0, False
+
+    if mesh is None and len(jax.devices()) > 1:
+        from squeezedet_tpu.parallel.mesh import auto_mesh
+        mesh = auto_mesh(cfg.batch_size)
+    if mesh is None and jax.process_count() > 1:
+        # Without a mesh each controller would train an independent
+        # replica on its local batch — silent divergence, not DP.  (The
+        # scanned branch would otherwise also crash dereferencing mesh.)
+        raise ValueError(
+            "multi-controller training needs a device mesh, but "
+            "batch_size={} has no divisor over the {} devices; choose "
+            "a batch size divisible by a device count (or pass an "
+            "explicit mesh)".format(cfg.batch_size, len(jax.devices())))
+    from squeezedet_tpu.parallel.mesh import data_axis_size
+    ds_shards = data_axis_size(mesh) if device_dataset else 1
+    if ds_shards > 1:
+        # shard the canvas stack over the mesh's data axis: D chips
+        # hold D× the dataset, each batch slot group gathers its own
+        # shard's rows locally (imdb.shard_data).  Must precede the
+        # sampler-state restore below — the snapshot is shard-shaped.
+        imdb.shard_data(ds_shards)
 
     rng = jax.random.key(seed, impl=rng_impl) if rng_impl \
         else jax.random.key(seed)
@@ -601,18 +638,6 @@ def train(det: Detector, imdb, *, train_dir: str, max_steps: int,
                 print("Restored input-stream state ({})".format(
                     os.path.basename(sampler_file)))
 
-    if mesh is None and len(jax.devices()) > 1:
-        from squeezedet_tpu.parallel.mesh import auto_mesh
-        mesh = auto_mesh(cfg.batch_size)
-    if mesh is None and jax.process_count() > 1:
-        # Without a mesh each controller would train an independent
-        # replica on its local batch — silent divergence, not DP.  (The
-        # scanned branch would otherwise also crash dereferencing mesh.)
-        raise ValueError(
-            "multi-controller training needs a device mesh, but "
-            "batch_size={} has no divisor over the {} devices; choose "
-            "a batch size divisible by a device count (or pass an "
-            "explicit mesh)".format(cfg.batch_size, len(jax.devices())))
     if pallas_grads:
         # Pallas filter-grad backward for stride-1 SAME convs
         # (ops/filter_grad.py).  A pallas_call is not SPMD-partitionable,
@@ -633,24 +658,48 @@ def train(det: Detector, imdb, *, train_dir: str, max_steps: int,
         train_step = make_train_step(det, tx, mesh=mesh)
 
     dataset_dev = None
+    local_coords = None
     if device_dataset:
-        dataset_np = imdb.load_canvas_dataset()
-        gib = dataset_np.nbytes / 2**30
-        if gib > 12.0:
+        from squeezedet_tpu.parallel.mesh import (dataset_sharding,
+                                                  local_data_coords)
+        # HBM guard models the PER-DEVICE share: 1/D of the padded
+        # stack when sharded over the data axis, the whole stack when
+        # replicated.  Computed from headers, before any decode.
+        h0, w0 = imdb.canvas_size()
+        n_total = (getattr(imdb, "_shard_rows", 0) * ds_shards
+                   if ds_shards > 1 else len(imdb.image_idx))
+        per_device_gib = n_total * h0 * w0 * 3 / ds_shards / 2**30
+        if per_device_gib > 12.0:
             raise ValueError(
-                "--device_dataset: the {}-image split is {:.1f} GiB as "
-                "a uint8 canvas stack — too large next to params/"
-                "activations in one chip's HBM; use --device_augment "
-                "(per-step canvas feed) instead".format(
-                    len(dataset_np), gib))
-        print("Device-resident dataset: {} images, {:.2f} GiB, "
-              "uploaded once".format(len(dataset_np), gib))
-        if mesh is not None:
-            dataset_dev = jax.device_put(dataset_np,
-                                         replicated_sharding(mesh))
+                "--device_dataset: the {}-image split is {:.1f} GiB "
+                "per device as a uint8 canvas stack — too large next "
+                "to params/activations in one chip's HBM; use "
+                "--device_augment (per-step canvas feed) instead".format(
+                    n_total, per_device_gib))
+        if jax.process_count() > 1:
+            # each controller decodes + uploads ONLY its devices'
+            # shards; the global stack spans hosts over the data axis
+            local_coords = local_data_coords(mesh)
+            block = imdb.load_canvas_shards(local_coords)
+            n_loaded, gib = len(block), block.nbytes / 2**30
+            dataset_dev = jax.make_array_from_process_local_data(
+                dataset_sharding(mesh), block)
+            del block
         else:
-            dataset_dev = jax.device_put(dataset_np)
-        del dataset_np
+            dataset_np = imdb.load_canvas_dataset()
+            n_loaded, gib = len(dataset_np), dataset_np.nbytes / 2**30
+            if mesh is not None:
+                sh = (dataset_sharding(mesh) if ds_shards > 1
+                      else replicated_sharding(mesh))
+                dataset_dev = jax.device_put(dataset_np, sh)
+            else:
+                dataset_dev = jax.device_put(dataset_np)
+            del dataset_np
+        print("Device-resident dataset: {} images this host, {:.2f} "
+              "GiB, {} over {} data shard(s), uploaded once".format(
+                  n_loaded, gib,
+                  "sharded" if ds_shards > 1 else "replicated",
+                  ds_shards))
 
     # viz/histograms under --device_assign need dense Targets; rebuild
     # them from the raw batch with the same device matcher the step uses.
@@ -700,6 +749,19 @@ def train(det: Detector, imdb, *, train_dir: str, max_steps: int,
                             device_augment=device_augment,
                             device_dataset=device_dataset).start()
 
+    def _local_rows(item):
+        """Multihost --device_dataset: every host's sampler draws the
+        identical GLOBAL batch (same seed, same shard_data partition);
+        each host feeds only the slots of its own data coordinates —
+        the contiguous [coord*per, ...) block of the shard-major batch
+        layout."""
+        if local_coords is None or jax.process_count() == 1:
+            return item
+        per = cfg.batch_size // ds_shards
+        lo = local_coords[0] * per
+        hi = (local_coords[-1] + 1) * per
+        return tuple(x[lo:hi] for x in item)
+
     def _images_for_summary(images):
         """Viz/activation consumers expect mean-subtracted f32 pixels
         (they add the means back for display); undo the uint8 ingest."""
@@ -747,16 +809,21 @@ def train(det: Detector, imdb, *, train_dir: str, max_steps: int,
                 # batch shards into [K, B_local, ...]; the global
                 # [K, B_global, ...] arrays keep the scan axis
                 # replicated and the batch over 'data', matching
-                # scan_step's in_shardings.
+                # scan_step's in_shardings.  device_dataset rows carry
+                # no image tensor — every item is plain [K, B, ...].
                 from squeezedet_tpu.parallel.mesh import (
                     stacked_image_sharding, stacked_sharding)
-                _stacked_sh = [stacked_image_sharding(mesh)] + \
-                    [stacked_sharding(mesh)] * (n_items - 1)
+                if device_dataset:
+                    _stacked_sh = [stacked_sharding(mesh)] * n_items
+                else:
+                    _stacked_sh = [stacked_image_sharding(mesh)] + \
+                        [stacked_sharding(mesh)] * (n_items - 1)
             step = state.step
             while step < max_steps:
                 start_time = time.time()
                 if step + K <= max_steps:
-                    batches = [loader.get() for _ in range(K)]
+                    batches = [_local_rows(loader.get())
+                               for _ in range(K)]
                     stacked = [np.stack([b[i] for b in batches])
                                for i in range(n_items)]
                     if multihost:
@@ -774,7 +841,7 @@ def train(det: Detector, imdb, *, train_dir: str, max_steps: int,
                         jnp.stack(rngs))
                     k_done = K
                 else:  # tail smaller than K: single-step dispatches
-                    item = loader.get()
+                    item = _local_rows(loader.get())
                     rng, r = jax.random.split(rng)
                     if device_dataset:
                         if mesh is not None:
@@ -825,7 +892,7 @@ def train(det: Detector, imdb, *, train_dir: str, max_steps: int,
                 # summary/viz/histogram consumers read the host-local
                 # copies: a batch-sharded global array spans other
                 # processes' devices and cannot be np.asarray'd
-                host_batch = loader.get()
+                host_batch = _local_rows(loader.get())
                 if device_dataset:
                     # host rows are (pos, aug, gt, labels, num_gt);
                     # the canvas gather happens inside the step

@@ -209,3 +209,66 @@ def test_predict_raw_resize_matches_host_path(cfg, rng):
     got = jax.jit(det.predict_raw_resize)(params, jnp.asarray(raw))
     np.testing.assert_allclose(np.asarray(got.det_probs),
                                np.asarray(want.det_probs), atol=0.05)
+
+
+def test_shard_data_sampler_and_stack_layout(tmp_path_factory):
+    """imdb.shard_data(D): the image list partitions into D strided
+    shards; every batch is shard-major with slot group s drawing ONLY
+    from shard s's padded row range (the invariant the mesh-sharded
+    local gather relies on); the padded shard-major stack, the
+    per-shard block loader and dataset_position all agree; and the
+    sampler snapshot/restore replays the stream bit-exactly."""
+    from synth_kitti import make_synth_kitti
+
+    from squeezedet_tpu.data import Kitti
+
+    root = str(tmp_path_factory.mktemp("kitti_shard"))
+    make_synth_kitti(root, num_images=10, width=320, height=96,
+                     image_set="train", seed=3)
+    mcfg = tiny_test_config(image_width=256, image_height=80,
+                            batch_size=4).replace(
+        data_augmentation=True, drift_x=40, drift_y=20)
+    db = Kitti("train", root, mcfg, rng=np.random.RandomState(5))
+    db.shard_data(4)
+    # 10 images -> strided shards of 3,3,2,2; padded stride 3
+    assert db._shard_rows == 3
+    stack = db.load_canvas_dataset()
+    assert stack.shape[0] == 4 * 3
+
+    # per-shard block loader returns exactly that block of the stack
+    np.testing.assert_array_equal(
+        db.load_canvas_shards([2, 3]), stack[6:12])
+
+    for _ in range(5):
+        plan = db.draw_batch_plan(True)
+        pos, aug, gt, lab, n = db.read_batch_plan_rows(plan=plan)
+        # slot s in shard s's padded row range
+        for s in range(4):
+            assert s * 3 <= pos[s] < s * 3 + len(db._data_shards[s])
+        # gathering the stack reproduces the canvas reader bit-for-bit
+        canvas, aug_c, gt_c, lab_c, n_c = db.read_batch_canvas(plan=plan)
+        np.testing.assert_array_equal(stack[pos], canvas)
+        np.testing.assert_array_equal(aug, aug_c)
+        np.testing.assert_allclose(gt, gt_c, rtol=1e-6)
+
+    # snapshot -> draw 3 -> restore (into a DIFFERENT-seeded imdb with
+    # the same sharding) -> identical redraw
+    state = db.sampler_state()
+    want = [db.read_batch_plan_rows(plan=db.draw_batch_plan(True))
+            for _ in range(3)]
+    db2 = Kitti("train", root, mcfg, rng=np.random.RandomState(99))
+    db2.shard_data(4)
+    db2.set_sampler_state(state)
+    got = [db2.read_batch_plan_rows(plan=db2.draw_batch_plan(True))
+           for _ in range(3)]
+    for a, b in zip(want, got):
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(y, x)
+
+    # misuse guards: double-shard, non-dividing batch
+    with pytest.raises(AssertionError):
+        db.shard_data(2)
+    db3 = Kitti("train", root, mcfg.replace(batch_size=3),
+                rng=np.random.RandomState(0))
+    with pytest.raises(ValueError, match="divisible"):
+        db3.shard_data(2)

@@ -280,3 +280,72 @@ def test_two_process_scanned_dispatch_matches_single(tmp_path):
     for a, b in zip(leaves1, leaves4):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=1e-4, atol=1e-6)
+
+
+_DS_WORKER = r"""
+import sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", int(sys.argv[4]))
+data_path, train_dir, marker = sys.argv[1], sys.argv[2], sys.argv[3]
+from squeezedet_tpu.train import main
+main(['--data_path', data_path, '--image_set', 'train',
+      '--train_dir', train_dir, '--image_width', '96',
+      '--image_height', '96', '--batch_size', '4', '--max_steps', '2',
+      '--checkpoint_step', '1', '--learning_rate', '0.001',
+      '--num_devices', '4', '--device_assign', '--device_dataset',
+      '--seed', '0'])
+with open(marker, "w") as f:
+    f.write("DS_OK {}".format(jax.process_index()))
+"""
+
+
+@pytest.mark.slow
+def test_two_process_device_dataset_matches_single(tmp_path):
+    """--device_dataset across TWO controllers: each host decodes and
+    uploads only its own devices' canvas shards (imdb.load_canvas_shards)
+    and feeds only its slots of the global batch, while the per-shard
+    sampler makes the stream a function of (seed, D) alone — so the
+    2-process run must land on the SAME final params as a single-process
+    run over the same 4-device mesh.  This closes round 4's
+    'single-controller only' raise with a topology-invariance pin."""
+    import numpy as np
+
+    from synth_kitti import make_synth_kitti
+    data = str(tmp_path / "kitti")
+    make_synth_kitti(data, num_images=6, width=96, height=96)
+
+    # arm 1: two processes x 2 local devices
+    train_dir2 = str(tmp_path / "train_p2")
+    markers = _run_pair(
+        _DS_WORKER, tmp_path,
+        worker_args=lambda i, marker: [data, train_dir2, marker, "2"],
+        extra_env=lambda i, coord: {
+            "JAX_COORDINATOR_ADDRESS": coord,
+            "JAX_NUM_PROCESSES": "2",
+            "JAX_PROCESS_ID": str(i)})
+    for i in range(2):
+        assert "DS_OK" in markers[i]
+
+    # arm 2: one process x 4 devices (same mesh extent)
+    train_dir1 = str(tmp_path / "train_p1")
+    marker1 = str(tmp_path / "marker_single")
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    proc = subprocess.run(
+        [sys.executable, "-c", _DS_WORKER, data, train_dir1, marker1,
+         "4"], env=env, capture_output=True, text=True, timeout=900)
+    assert proc.returncode == 0, (proc.stdout, proc.stderr)
+
+    import orbax.checkpoint as ocp
+    t2 = ocp.StandardCheckpointer().restore(
+        os.path.join(train_dir2, "model.ckpt-1"))
+    t1 = ocp.StandardCheckpointer().restore(
+        os.path.join(train_dir1, "model.ckpt-1"))
+    import jax
+    l1 = jax.tree_util.tree_leaves(t1["params"])
+    l2 = jax.tree_util.tree_leaves(t2["params"])
+    assert len(l1) == len(l2)
+    for a, b in zip(l1, l2):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-6, atol=1e-7)

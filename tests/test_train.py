@@ -461,11 +461,14 @@ def test_restore_params_only(cfg, tmp_path):
 
 
 def test_device_dataset_step_on_8_device_mesh(rng):
-    """The HBM-resident dataset step partitions over the full 8-device
-    mesh: dataset replicated, index/aug/GT rows batch-sharded, and the
-    gathered-canvas program computes the same loss as feeding the
-    gathered rows through the canvas-batch step."""
-    from squeezedet_tpu.parallel.mesh import (batch_sharding, make_mesh,
+    """The HBM-resident dataset step SHARDS the stack over the full
+    8-device mesh (each device holds its own rows; 8 chips hold 8× the
+    dataset), index/aug/GT rows batch-sharded, the gather shard-local —
+    no all-gather of the stack in the HLO — and the program computes
+    the same loss as feeding the host-gathered rows through the
+    canvas-batch step."""
+    from squeezedet_tpu.parallel.mesh import (batch_sharding,
+                                              dataset_sharding, make_mesh,
                                               replicated_sharding)
     from squeezedet_tpu.trainer import make_train_step_device
     cfg8 = tiny_test_config(image_width=64, image_height=64,
@@ -476,9 +479,11 @@ def test_device_dataset_step_on_8_device_mesh(rng):
     tx = build_optimizer(cfg8, mask)
     opt = tx.init(params)
 
-    n_img = 12
-    stack = rng.randint(0, 255, (n_img, 64, 96, 3)).astype(np.uint8)
-    pos = rng.randint(0, n_img, (8,)).astype(np.int32)
+    rows = 2  # per-shard rows of the padded shard-major stack
+    stack = rng.randint(0, 255, (8 * rows, 64, 96, 3)).astype(np.uint8)
+    # slot s draws only from shard s's rows [s*rows, (s+1)*rows)
+    pos = np.asarray([s * rows + rng.randint(rows) for s in range(8)],
+                     np.int32)
     aug = np.zeros((8, 5), np.float32)
     aug[:, 3], aug[:, 4] = 96.0, 64.0  # no drift/flip, full extents
     gt = np.tile(np.asarray([[32.0, 30.0, 20.0, 16.0]], np.float32),
@@ -492,13 +497,19 @@ def test_device_dataset_step_on_8_device_mesh(rng):
     o = jax.device_put(opt, rep)
     step = make_train_step_device(det, tx, mesh=mesh, donate=False,
                                   device_dataset=True)
-    _, _, lb = step(p, o, jax.device_put(jnp.asarray(stack), rep),
-                    jax.device_put(jnp.asarray(pos), data),
-                    jax.device_put(jnp.asarray(aug), data),
-                    jax.device_put(jnp.asarray(gt), data),
-                    jax.device_put(jnp.asarray(labels), data),
-                    jax.device_put(jnp.asarray(num_gt), data),
-                    jax.random.key(1))
+    args = (p, o, jax.device_put(jnp.asarray(stack),
+                                 dataset_sharding(mesh)),
+            jax.device_put(jnp.asarray(pos), data),
+            jax.device_put(jnp.asarray(aug), data),
+            jax.device_put(jnp.asarray(gt), data),
+            jax.device_put(jnp.asarray(labels), data),
+            jax.device_put(jnp.asarray(num_gt), data),
+            jax.random.key(1))
+    compiled = step.lower(*args).compile()
+    assert "all-gather" not in compiled.as_text(), (
+        "sharded-dataset program all-gathers; the canvas gather was "
+        "supposed to be shard-local")
+    _, _, lb = compiled(*args)
     total = float(lb.total)
     assert np.isfinite(total)
 
@@ -828,27 +839,33 @@ def test_train_loop_device_augment(kitti_root, tmp_path):
 
 def test_train_loop_device_dataset_equals_canvas_feed(kitti_root,
                                                       tmp_path):
-    """--device_dataset (HBM-resident canvas stack + on-device gather)
-    must train the SAME trajectory as --device_augment's per-step
-    canvas feed: the host rows are pinned identical
-    (test_device_pipeline.test_plan_rows_match_canvas_reader), so with
-    one seed the final params of the two loops must agree.  Also runs
-    the scanned dispatch + resume composition."""
+    """--device_dataset (HBM-resident canvas stack, SHARDED over the
+    mesh data axis, on-device shard-local gather) must train the SAME
+    trajectory as --device_augment's per-step host canvas feed given
+    the same per-shard sampler: the storage/gather machinery adds
+    nothing to the stream (host rows pinned identical by
+    test_device_pipeline.test_plan_rows_match_canvas_reader).  The
+    train loop activates imdb.shard_data(D) itself for the ds arm; the
+    cv arm applies it manually so both consume the identical stream.
+    Also runs the scanned dispatch + resume composition."""
+    from squeezedet_tpu.parallel.mesh import make_mesh
     aug_cfg = tiny_test_config(image_width=96, image_height=96,
                                batch_size=2).replace(
         data_augmentation=True, drift_x=20, drift_y=20)
 
-    def run(tag, **kw):
+    def run(tag, shard=False, **kw):
         det = get_model("squeezeDet", aug_cfg)
         db = Kitti("train", kitti_root, aug_cfg,
                    rng=np.random.RandomState(0))
+        if shard:
+            db.shard_data(2)
         return train(det, db, train_dir=str(tmp_path / tag),
                      max_steps=3, checkpoint_step=100,
-                     summary_step=1000, log_every=1,
+                     summary_step=1000, log_every=1, mesh=make_mesh(2),
                      device_assign=True, **kw)
 
     s_ds = run("ds", device_dataset=True)
-    s_cv = run("cv", device_augment=True)
+    s_cv = run("cv", shard=True, device_augment=True)
     assert s_ds.step == 3
     for a, b in zip(jax.tree_util.tree_leaves(s_ds.params),
                     jax.tree_util.tree_leaves(s_cv.params)):

@@ -549,15 +549,24 @@ def train(det: Detector, imdb, *, train_dir: str, max_steps: int,
         if getattr(cfg, "use_native_loader", False):
             raise ValueError("--device_augment replaces the host pixel "
                              "pipeline; drop --native_loader")
-        skipped = [flag for flag, on in (
-            ("--summary_step viz images", bool(viz_step)),
-            ("--histogram_step", bool(histogram_step)),
-            ("--activation_summary", activation_summary)) if on]
-        if skipped:
-            print("WARNING: --device_augment keeps no model-resolution "
-                  "pixels on the host; skipping: {}.".format(
-                      ", ".join(skipped)))
-            viz_step, histogram_step, activation_summary = 0, 0, False
+        # Model-resolution pixels never exist on the host in this mode,
+        # but the augmented batch exists ON DEVICE: summary steps replay
+        # augment_resize_normalize on the batch's canvas rows (a jitted
+        # fetch at summary cadence only) so the reference's detection
+        # viz / histograms / activation stats survive (train.py:287-296,
+        # nn_skeleton.py:363-372).  Multihost is the one exception: the
+        # global batch's pixels span other controllers' hosts.
+        if jax.process_count() > 1:
+            skipped = [flag for flag, on in (
+                ("--summary_step viz images", bool(viz_step)),
+                ("--histogram_step", bool(histogram_step)),
+                ("--activation_summary", activation_summary)) if on]
+            if skipped:
+                print("WARNING: --device_augment under multiple "
+                      "controllers keeps no global pixel batch on any "
+                      "one host; skipping: {}.".format(
+                          ", ".join(skipped)))
+                viz_step, histogram_step, activation_summary = 0, 0, False
 
     if mesh is None and len(jax.devices()) > 1:
         from squeezedet_tpu.parallel.mesh import auto_mesh
@@ -711,6 +720,38 @@ def train(det: Detector, imdb, *, train_dir: str, max_steps: int,
         viz_assign = jax.jit(partial(assign_anchors_device,
                                      num_classes=cfg.classes))
 
+    # --device_augment/--device_dataset summary-step pixel replay: run
+    # the SAME on-device augment program the step uses over the batch's
+    # canvas rows (gathered from the HBM stack under device_dataset)
+    # and pull the model-resolution mean-subtracted f32 pixels to host.
+    aug_replay = None
+    if device_augment and (viz_step or histogram_step or
+                           activation_summary):
+        from squeezedet_tpu.data.device_pipeline import (
+            augment_resize_normalize)
+        aug_replay = jax.jit(lambda canvas, aug: augment_resize_normalize(
+            canvas, aug, cfg.image_height, cfg.image_width,
+            cfg.bgr_means))
+
+    def _summary_pixels(host_batch):
+        """Mean-subtracted f32 model-resolution pixels of this batch for
+        the viz / histogram / activation-summary consumers, whatever the
+        ingest mode."""
+        if not device_augment:
+            return _images_for_summary(host_batch[0])
+        if device_dataset:
+            pos = jnp.asarray(host_batch[0])
+            if ds_shards > 1:
+                from squeezedet_tpu.parallel.mesh import local_shard_gather
+                canvas = local_shard_gather(
+                    mesh, dataset_dev,
+                    jax.device_put(pos, batch_sharding(mesh)))
+            else:
+                canvas = jnp.take(dataset_dev, pos, axis=0)
+        else:
+            canvas = jnp.asarray(host_batch[0])
+        return np.asarray(aug_replay(canvas, jnp.asarray(host_batch[1])))
+
     # gradient histograms recompute grads with a separate jitted fn on
     # histogram steps only (the fast-path step never returns grads);
     # grads are taken at the post-update params of the same batch.
@@ -729,12 +770,16 @@ def train(det: Detector, imdb, *, train_dir: str, max_steps: int,
                     trainable)
 
         if device_assign:
+            # under --device_augment the histogram batch arrives as the
+            # REPLAYED pixels (already augmented + mean-subtracted f32),
+            # so the uint8 normalization must not run again
+            u8 = uint8_ingest and not device_augment
+
             def gf(p, images, gt_boxes, gt_labels, num_gt, rng):
                 from squeezedet_tpu.data.device_pipeline import (
                     ingest_and_assign)
                 images, tg = ingest_and_assign(det, images, gt_boxes,
-                                               gt_labels, num_gt,
-                                               uint8_ingest)
+                                               gt_labels, num_gt, u8)
                 return _tgrad(p, lambda q: det.loss(
                     q, images, tg, rng=rng, train=True).total)
         else:
@@ -931,21 +976,28 @@ def train(det: Detector, imdb, *, train_dir: str, max_steps: int,
                 cfg=cfg, log_every=log_every, summary_step=summary_step,
                 summary_writer=summary_writer,
                 checkpoint_step=checkpoint_step, max_steps=max_steps)
-            if do_summary and viz_step and step % viz_step == 0:
+            viz_due = do_summary and viz_step and step % viz_step == 0
+            hist_due = summary_writer is not None and histogram_step \
+                and step % histogram_step == 0
+            pixels = None
+            if viz_due or hist_due:
+                # one replay/fetch serves viz, histograms and
+                # activation summaries alike
+                pixels = _summary_pixels(host_batch)
+            if viz_due:
+                off = 2 if device_augment else 1
                 if targets is None and viz_assign is not None:
                     targets = viz_assign(
-                        anchors_const, jnp.asarray(host_batch[1]),
-                        jnp.asarray(host_batch[2]),
-                        jnp.asarray(host_batch[3]))
+                        anchors_const, jnp.asarray(host_batch[off]),
+                        jnp.asarray(host_batch[off + 1]),
+                        jnp.asarray(host_batch[off + 2]))
                 if targets is not None:
-                    ims = viz_prediction_images(
-                        det, params,
-                        _images_for_summary(host_batch[0]), targets)
+                    ims = viz_prediction_images(det, params, pixels,
+                                                targets)
                     summary_writer.image(
                         "sample_detection_results", ims, step,
                         max_outputs=cfg.batch_size)
-            if summary_writer is not None and histogram_step and \
-                    step % histogram_step == 0:
+            if hist_due:
                 if grad_fn is None:
                     grad_fn = _make_grad_fn()
                 # histograms reflect this host's local batch (params
@@ -953,7 +1005,14 @@ def train(det: Detector, imdb, *, train_dir: str, max_steps: int,
                 # multi-process global params array cannot join a jit
                 # over host-local batches, so grads use a host copy
                 hp = jax.device_get(params) if multihost else params
-                if device_assign:
+                if device_augment:
+                    # grads at the replayed (augmented, normalized)
+                    # pixels — the same batch the step trained on
+                    grads = grad_fn(
+                        hp, jnp.asarray(pixels),
+                        *[jnp.asarray(x) for x in host_batch[2:]],
+                        step_rng)
+                elif device_assign:
                     grads = grad_fn(
                         hp, *[jnp.asarray(x) for x in host_batch],
                         step_rng)
@@ -966,8 +1025,7 @@ def train(det: Detector, imdb, *, train_dir: str, max_steps: int,
                                      None))
                 if activation_summary:
                     write_activation_summaries(
-                        summary_writer, det, params,
-                        _images_for_summary(host_batch[0]), step)
+                        summary_writer, det, params, pixels, step)
             if ckpt_due:
                 state = _save_checkpoint(
                     ckpt, train_dir, imdb, loader, rng, params, opt_state,

@@ -1045,3 +1045,36 @@ def test_loss_coef_zero_override_respected():
     # and leaving it unset keeps the config default
     cfg = config_from_args(p.parse_args([]))
     assert cfg.loss_coef_conf_neg == 100.0
+
+
+def test_observability_under_device_augment_and_dataset(kitti_root,
+                                                        tmp_path):
+    """--device_augment / --device_dataset keep the reference's summary
+    surface (round-4 verdict item 3): the augmented batch exists on
+    device, so summary steps replay augment_resize_normalize on the
+    batch's canvas rows (gathered from the HBM stack under
+    device_dataset) and emit detection-viz images, per-variable /
+    per-gradient histograms and activation summaries instead of zeroing
+    the flags (reference train.py:287-296, nn_skeleton.py:353-372)."""
+    aug_cfg = tiny_test_config(image_width=96, image_height=96,
+                               batch_size=2).replace(
+        data_augmentation=True, drift_x=20, drift_y=20)
+
+    for tag, kw in (("aug", dict(device_augment=True)),
+                    ("ds", dict(device_dataset=True))):
+        det = get_model("squeezeDet", aug_cfg)
+        db = Kitti("train", kitti_root, aug_cfg,
+                   rng=np.random.RandomState(0))
+        writer = _CapturingWriter()
+        train(det, db, train_dir=str(tmp_path / tag), max_steps=2,
+              checkpoint_step=10, summary_step=1, summary_writer=writer,
+              viz_step=1, device_assign=True, histogram_step=1,
+              activation_summary=True, log_every=1, **kw)
+        assert "sample_detection_results" in writer.images, tag
+        ims = writer.images["sample_detection_results"][0][1]
+        assert ims.shape[0] >= 1 and ims.dtype == np.uint8, tag
+        assert any(t.startswith("gradients/conv12")
+                   for t in writer.histograms), tag
+        assert "activations/conv1" in writer.histograms, tag
+        s = writer.scalars["activation_summary/conv1/sparsity"][0][1]
+        assert 0.0 <= s <= 1.0, tag

@@ -528,6 +528,30 @@ class Imdb:
             scales.append((mc.image_width / orig_w, mc.image_height / orig_h))
         return images, scales
 
+    def read_image_rows(self, shuffle: bool = False):
+        """:meth:`read_image_batch` minus the pixels, for device-resident
+        eval (--device_dataset on the eval daemon): the split's canvases
+        live in HBM (load_canvas_dataset) and each poll ships only row
+        positions + extents, removing the reference's per-poll im_read +
+        transfer of every image (eval.py:66-97).
+
+        Returns (pos [B] i32 rows into the canvas stack, aug [B, 5] f32
+        rows (0, 0, 0, orig_w, orig_h) for the on-device resize+normalize
+        program, scales list of per-image (x_scale, y_scale)).
+        """
+        mc = self.mc
+        batch_idx = self._next_batch_idx(shuffle)
+        b = len(batch_idx)
+        pos = np.zeros((b,), np.int32)
+        aug = np.zeros((b, 5), np.float32)
+        scales = []
+        for bi, idx in enumerate(batch_idx):
+            pos[bi] = self.dataset_position(idx)
+            w, h = self._image_size(idx)
+            aug[bi] = (0.0, 0.0, 0.0, float(w), float(h))
+            scales.append((mc.image_width / w, mc.image_height / h))
+        return pos, aug, scales
+
     def read_batch(self, shuffle: bool = True,
                    plan: Optional[BatchPlan] = None):
         """Images + training annotations (imdb.py:99-249).

@@ -232,3 +232,65 @@ def test_spatial_fallback_backstop(capsys):
     assert predict_ok({"w": jax.device_put(np.zeros(2))}, "b") \
         == "spatial_out"
     assert capsys.readouterr().out.count("Evaluating spatially") == 1
+
+
+def test_detect_all_device_dataset_matches_host(kitti_root):
+    """--device_dataset eval (HBM-resident canvas stack + on-device
+    gather/resize/normalize) must reproduce the host read path's
+    detections.  At model resolution == native resolution the on-device
+    resize is exactly the identity (one-hot bilinear weights), so the
+    comparison is strict — any divergence is a gather/normalize bug,
+    not resize rounding.  Runs batch-1 (single/spatial) and batch-8
+    (data-parallel mesh) plus the upload-once cache across polls."""
+    cfg1 = tiny_test_config(image_width=320, image_height=96,
+                            batch_size=1)
+    det1 = get_model("squeezeDet", cfg1)
+    params, _, _ = det1.init(jax.random.key(0))
+    db1 = Kitti("val", kitti_root, cfg1)
+    host_boxes, host_n, _ = detect_all(det1, db1, params, batch_size=1)
+    ds_boxes, ds_n, _ = detect_all(det1, db1, params, batch_size=1,
+                                   device_dataset=True)
+    assert getattr(db1, "_eval_stack_dev", None) is not None
+    stack_id = id(db1._eval_stack_dev)
+    # second poll reuses the uploaded stack
+    ds2_boxes, ds2_n, timers = detect_all(det1, db1, params,
+                                          batch_size=1,
+                                          device_dataset=True)
+    assert id(db1._eval_stack_dev) == stack_id
+
+    cfg8 = cfg1.replace(batch_size=8)
+    det8 = get_model("squeezeDet", cfg8)
+    db8 = Kitti("val", kitti_root, cfg8)
+    dp_boxes, dp_n, _ = detect_all(det8, db8, params, batch_size=8,
+                                   device_dataset=True)
+
+    assert ds_n == host_n == ds2_n == dp_n
+    for c in range(db1.num_classes):
+        for i in range(len(db1.image_idx)):
+            a = np.asarray(sorted(map(tuple, host_boxes[c][i])))
+            for got in (ds_boxes[c][i], ds2_boxes[c][i],
+                        dp_boxes[c][i]):
+                b = np.asarray(sorted(map(tuple, got)))
+                assert a.shape == b.shape, (c, i)
+                if a.size:
+                    np.testing.assert_allclose(b, a, rtol=1e-4,
+                                               atol=1e-3)
+
+
+def test_eval_cli_device_postprocess_default():
+    """Batched eval defaults to the fused device postprocess; batch-1
+    keeps the reference host path; --host_postprocess forces host even
+    batched (round-4 verdict item 7)."""
+    from squeezedet_tpu.eval import (build_arg_parser,
+                                     resolve_device_postprocess)
+
+    p = build_arg_parser()
+
+    def resolved(argv):
+        return resolve_device_postprocess(p.parse_args(argv))
+
+    assert resolved(['--eval_batch_size', '8']) is True
+    assert resolved([]) is False                      # batch-1 default
+    assert resolved(['--device_postprocess']) is True
+    assert resolved(['--eval_batch_size', '8',
+                     '--host_postprocess']) is False

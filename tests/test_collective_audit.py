@@ -52,3 +52,23 @@ def test_train_step_collectives_on_meshes():
     assert found_sp["all-reduce"]
     assert found_sp["collective-permute"], \
         "spatial sharding must lower to halo collective-permutes"
+
+
+def test_sharded_device_dataset_step_is_collective_free_on_canvas_path():
+    """The mesh-sharded HBM-dataset step must put EXACTLY the plain
+    data-parallel step's collectives on the wire (the gradient psum):
+    the canvas gather is shard-local by construction, so sharding the
+    dataset adds zero ICI bytes — the audit proves 'N chips hold N× the
+    dataset' costs nothing per step."""
+    hlo_dp, _, _ = lower_train_step(8, 1, full_res=False)
+    hlo_ds, _, _ = lower_train_step(8, 1, full_res=False,
+                                    device_dataset=True)
+    found_dp = audit_hlo(hlo_dp)
+    found_ds = audit_hlo(hlo_ds)
+    assert found_ds["all-reduce"], "gradient psum must survive"
+    for kind in ("all-gather", "collective-permute", "all-to-all",
+                 "reduce-scatter"):
+        assert not found_ds.get(kind), (kind, found_ds.get(kind))
+    # same collective inventory (kind -> count) as plain DP
+    assert {k: len(v) for k, v in found_ds.items()} == \
+        {k: len(v) for k, v in found_dp.items()}

@@ -1078,3 +1078,33 @@ def test_observability_under_device_augment_and_dataset(kitti_root,
         assert "activations/conv1" in writer.histograms, tag
         s = writer.scalars["activation_summary/conv1/sparsity"][0][1]
         assert 0.0 <= s <= 1.0, tag
+
+
+def test_device_dataset_sharded_resume_matches_straight_run(kitti_root,
+                                                            tmp_path):
+    """Interrupt/resume of a mesh-sharded --device_dataset run: the
+    sharded sampler snapshot (per-shard permutations + cursors) rides
+    the checkpoint, shard_data() precedes the restore in train(), and
+    the resumed trajectory must equal an uninterrupted run bit-for-bit."""
+    from squeezedet_tpu.parallel.mesh import make_mesh
+    aug_cfg = tiny_test_config(image_width=96, image_height=96,
+                               batch_size=2).replace(
+        data_augmentation=True, drift_x=20, drift_y=20)
+
+    def run(tag, max_steps, resume=True):
+        det = get_model("squeezeDet", aug_cfg)
+        db = Kitti("train", kitti_root, aug_cfg,
+                   rng=np.random.RandomState(0))
+        return train(det, db, train_dir=str(tmp_path / tag),
+                     max_steps=max_steps, checkpoint_step=2,
+                     summary_step=1000, log_every=1, mesh=make_mesh(2),
+                     device_assign=True, device_dataset=True,
+                     resume=resume)
+
+    run("split", 2)                 # first half; ckpt + sampler at 1
+    s_resumed = run("split", 4)     # resumes at 2, continues stream
+    s_straight = run("straight", 4, resume=False)
+    assert s_resumed.step == s_straight.step == 4
+    for a, b in zip(jax.tree_util.tree_leaves(s_resumed.params),
+                    jax.tree_util.tree_leaves(s_straight.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -67,7 +67,8 @@ def audit_hlo(hlo: str):
     return found
 
 
-def lower_train_step(n_devices: int, n_spatial: int, full_res: bool):
+def lower_train_step(n_devices: int, n_spatial: int, full_res: bool,
+                     device_dataset: bool = False):
     import numpy as np
 
     import jax
@@ -77,6 +78,7 @@ def lower_train_step(n_devices: int, n_spatial: int, full_res: bool):
     from squeezedet_tpu.models import get_model
     from squeezedet_tpu.optim import build_optimizer
     from squeezedet_tpu.parallel.mesh import (batch_sharding,
+                                              dataset_sharding,
                                               image_sharding, make_mesh,
                                               make_mesh_2d,
                                               replicated_sharding)
@@ -94,23 +96,39 @@ def lower_train_step(n_devices: int, n_spatial: int, full_res: bool):
         mesh = make_mesh_2d(n_devices // n_spatial, n_spatial)
     else:
         mesh = make_mesh(n_devices)
-    step = make_train_step_device(det, tx, mesh=mesh, donate=False)
+    step = make_train_step_device(det, tx, mesh=mesh, donate=False,
+                                  device_dataset=device_dataset)
 
     rng = np.random.RandomState(0)
     g = 8
-    images = rng.randn(n_devices, cfg.image_height, cfg.image_width,
-                       3).astype(np.float32)
     gt = np.zeros((n_devices, g, 4), np.float32)
     gt[:, 0] = [cfg.image_width // 2, cfg.image_height // 2, 40, 30]
     labels = np.zeros((n_devices, g), np.int32)
     num_gt = np.full((n_devices,), 1, np.int32)
 
     rep = replicated_sharding(mesh)
+    data = batch_sharding(mesh)
+    if device_dataset:
+        # shard-major HBM canvas stack (2 rows per data shard) + the
+        # per-step index/aug rows — the whole pixel path must stay
+        # collective-free (the gather is shard-local by construction)
+        rows = 2
+        stack = rng.randint(0, 255, (n_devices * rows, cfg.image_height,
+                                     cfg.image_width, 3)).astype(np.uint8)
+        pos = np.asarray([s * rows for s in range(n_devices)], np.int32)
+        aug = np.zeros((n_devices, 5), np.float32)
+        aug[:, 3], aug[:, 4] = cfg.image_width, cfg.image_height
+        feed = (jax.device_put(stack, dataset_sharding(mesh)),
+                jax.device_put(pos, data), jax.device_put(aug, data))
+    else:
+        images = rng.randn(n_devices, cfg.image_height, cfg.image_width,
+                           3).astype(np.float32)
+        feed = (jax.device_put(images, image_sharding(mesh)),)
     args = (jax.device_put(params, rep), jax.device_put(opt_state, rep),
-            jax.device_put(images, image_sharding(mesh)),
-            jax.device_put(gt, batch_sharding(mesh)),
-            jax.device_put(labels, batch_sharding(mesh)),
-            jax.device_put(num_gt, batch_sharding(mesh)),
+            *feed,
+            jax.device_put(gt, data),
+            jax.device_put(labels, data),
+            jax.device_put(num_gt, data),
             jax.random.key(1))
     compiled = step.lower(*args).compile()
     return compiled.as_text(), mesh, cfg
@@ -123,6 +141,10 @@ def main():
                     help="spatial axis size (1 = pure data parallel)")
     ap.add_argument("--full_res", action="store_true",
                     help="flagship 1248x384 config (slow CPU compile)")
+    ap.add_argument("--device_dataset", action="store_true",
+                    help="audit the mesh-sharded HBM-dataset step "
+                         "(expected: the same gradient all-reduces and "
+                         "ZERO collectives on the canvas gather path)")
     ap.add_argument("--dump", default="",
                     help="also write the optimized HLO to this path")
     args = ap.parse_args()
@@ -134,7 +156,8 @@ def main():
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_num_cpu_devices", args.n)
 
-    hlo, mesh, cfg = lower_train_step(args.n, args.spatial, args.full_res)
+    hlo, mesh, cfg = lower_train_step(args.n, args.spatial, args.full_res,
+                                      device_dataset=args.device_dataset)
     if args.dump:
         with open(args.dump, "w") as f:
             f.write(hlo)

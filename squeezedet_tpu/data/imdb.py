@@ -204,8 +204,16 @@ class Imdb:
         if num_shards <= 1:
             return
         with self._lock:
-            assert not hasattr(self, "_data_shards"), \
-                "shard_data called twice"
+            if getattr(self, "_data_shards", None) is not None:
+                if len(self._data_shards) == num_shards:
+                    return  # idempotent: train() may be re-entered on
+                    # the same imdb (resume flows); the live sampler
+                    # state is the stream position and must be kept
+                raise ValueError(
+                    "imdb is already sharded {} ways; cannot re-shard "
+                    "to {} (the per-shard stream is a function of the "
+                    "shard count — build a fresh imdb for a different "
+                    "mesh)".format(len(self._data_shards), num_shards))
             if self.mc.batch_size % num_shards:
                 raise ValueError(
                     "batch_size={} not divisible by the {} data shards "
@@ -291,24 +299,38 @@ class Imdb:
         with self._lock:
             perm = np.asarray(state["perm_order"], np.int64)
             if perm.size:
-                assert perm.size == len(self._image_idx), (
-                    "sampler state is for a {}-image set, this imdb has "
-                    "{}".format(perm.size, len(self._image_idx)))
+                if perm.size != len(self._image_idx):
+                    raise ValueError(
+                        "sampler state is for a {}-image set, this "
+                        "imdb has {}".format(perm.size,
+                                             len(self._image_idx)))
                 self._perm_order = perm
                 self._perm_idx = [self._image_idx[i] for i in perm]
             self._cur_idx = int(state["cur_idx"])
+            # ValueError (not assert): a mismatched restore silently
+            # corrupts the resumed stream, so the guards must survive
+            # python -O like _next_batch_idx_locked's
             if "shard_perm_order" in state and \
                     np.asarray(state["shard_perm_order"]).size:
-                assert getattr(self, "_data_shards", None), (
-                    "sampler state is data-sharded; call shard_data() "
-                    "before restoring it")
+                if not getattr(self, "_data_shards", None):
+                    raise ValueError(
+                        "sampler state is data-sharded; call "
+                        "shard_data() before restoring it")
                 perm2 = np.asarray(state["shard_perm_order"], np.int64)
-                assert perm2.shape[0] == len(self._data_shards), (
-                    "sampler state has {} data shards, this imdb has "
-                    "{}".format(perm2.shape[0], len(self._data_shards)))
+                if perm2.shape[0] != len(self._data_shards):
+                    raise ValueError(
+                        "sampler state has {} data shards, this imdb "
+                        "has {} — resume a sharded --device_dataset "
+                        "run on a mesh with the same data-axis size "
+                        "it was checkpointed with".format(
+                            perm2.shape[0], len(self._data_shards)))
                 for s in range(perm2.shape[0]):
                     p = perm2[s][perm2[s] >= 0]
-                    assert p.size == len(self._data_shards[s])
+                    if p.size != len(self._data_shards[s]):
+                        raise ValueError(
+                            "sampler-state shard {} has {} rows, this "
+                            "imdb's shard has {}".format(
+                                s, p.size, len(self._data_shards[s])))
                     self._shard_perm_order[s] = p
                     self._shard_perm_idx[s] = [
                         self._data_shards[s][i] for i in p]

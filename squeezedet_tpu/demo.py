@@ -50,6 +50,16 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help='Override input width (0 = model default).')
     p.add_argument('--image_height', type=int, default=0,
                    help='Override input height (0 = model default).')
+    p.add_argument('--device_postprocess', action='store_true',
+                   help='Fuse top-K + per-class NMS into the device '
+                        'program (ops/postprocess.py) instead of the '
+                        'reference host-numpy filter_prediction — '
+                        'identical detections (pinned by '
+                        'tests/test_postprocess.py), device->host '
+                        'transfer drops from [ANCHORS,...] to [K,...]. '
+                        'The eval daemon defaults to this for batched '
+                        'eval; the demo stays host-path by default for '
+                        'reference timing semantics (demo.py:193-199).')
     p.add_argument('--compilation_cache', default='',
                    help='Persistent XLA compilation cache dir.')
     return p
@@ -90,21 +100,40 @@ def load_params(det, checkpoint: str):
     return params
 
 
-def _detect_and_draw(det, predict, params, frame, im_input, mc):
+def _filter_outputs(det, out, mc, device_pp: bool):
+    """Final detections above plot_prob_thresh for one image.
+
+    ``device_pp=False``: the reference protocol — ``out`` is the raw
+    Interpretation, filtered by the host-numpy filter_prediction
+    (nn_skeleton.py:696-734) then thresholded (demo.py:201-205).
+    ``device_pp=True``: ``out`` is the fused program's fixed-shape
+    (boxes, probs, classes, keep) [1, K, ...]; the same grouped-by-class
+    ordering and > plot_prob_thresh cut come from
+    device_results_to_lists."""
+    if device_pp:
+        from squeezedet_tpu.ops.postprocess import device_results_to_lists
+        k_boxes, k_probs, k_class, k_keep = (np.asarray(x) for x in out)
+        return device_results_to_lists(
+            k_boxes[0], k_probs[0], k_class[0], k_keep[0],
+            num_classes=mc.classes, plot_prob_thresh=mc.plot_prob_thresh)
+    boxes, probs, classes = det.filter_prediction(
+        np.asarray(out.det_boxes[0]), np.asarray(out.det_probs[0]),
+        np.asarray(out.det_class[0]))
+    keep = [i for i in range(len(probs))
+            if probs[i] > mc.plot_prob_thresh]
+    return ([boxes[i] for i in keep], [probs[i] for i in keep],
+            [classes[i] for i in keep])
+
+
+def _detect_and_draw(det, predict, params, frame, im_input, mc,
+                     device_pp: bool = False):
     """Shared detect + filter + draw path. Draws on ``frame`` in place."""
     import jax.numpy as jnp
 
     from squeezedet_tpu.utils.util import draw_box
 
-    interp = predict(params, jnp.asarray(im_input[None]))
-    boxes, probs, classes = det.filter_prediction(
-        np.asarray(interp.det_boxes[0]), np.asarray(interp.det_probs[0]),
-        np.asarray(interp.det_class[0]))
-    keep = [i for i in range(len(probs))
-            if probs[i] > mc.plot_prob_thresh]
-    boxes = [boxes[i] for i in keep]
-    probs = [probs[i] for i in keep]
-    classes = [classes[i] for i in keep]
+    out = predict(params, jnp.asarray(im_input[None]))
+    boxes, probs, classes = _filter_outputs(det, out, mc, device_pp)
     draw_box(frame, boxes,
              [mc.class_names[c] + ': (%.2f)' % p
               for c, p in zip(classes, probs)],
@@ -114,24 +143,32 @@ def _detect_and_draw(det, predict, params, frame, im_input, mc):
 
 def _maybe_quantize(args, det, params, default_calib: str = ''):
     """--quantize int8: PTQ via quant.py, calibrated on --calib_images
-    (or ``default_calib``).  Returns (params, base predict fn) — the
-    quantized twin takes the same normalized float images."""
+    (or ``default_calib``).  Returns (params, predict fn) — the
+    quantized twin takes the same normalized float images.  With
+    --device_postprocess the returned fn also fuses top-K + NMS into
+    the program (det.postprocess_device) and yields fixed-shape
+    [1, K, ...] results instead of the raw Interpretation."""
     import jax
 
     if not args.quantize:
-        return params, jax.jit(det.predict)
-    assert args.quantize == 'int8', args.quantize
-    calib_src = args.calib_images or default_calib
-    assert calib_src, '--quantize needs --calib_images'
-    from squeezedet_tpu.quant import calib_batch_from_images
-    cfg = det.cfg
-    calib = calib_batch_from_images(calib_src, cfg.image_width,
-                                    cfg.image_height)
-    print('Quantizing (int8 PTQ, {} calibration frames)...'.format(
-        len(calib)))
-    qparams = det.quantize(params, [calib],
-                           percentile=args.calib_percentile)
-    return qparams, jax.jit(det.predict_quant_normalized)
+        base = det.predict
+    else:
+        assert args.quantize == 'int8', args.quantize
+        calib_src = args.calib_images or default_calib
+        assert calib_src, '--quantize needs --calib_images'
+        from squeezedet_tpu.quant import calib_batch_from_images
+        cfg = det.cfg
+        calib = calib_batch_from_images(calib_src, cfg.image_width,
+                                        cfg.image_height)
+        print('Quantizing (int8 PTQ, {} calibration frames)...'.format(
+            len(calib)))
+        params = det.quantize(params, [calib],
+                              percentile=args.calib_percentile)
+        base = det.predict_quant_normalized
+    if args.device_postprocess:
+        return params, jax.jit(
+            lambda p, x: det.postprocess_device(base(p, x)))
+    return params, jax.jit(base)
 
 
 def image_demo(args):
@@ -160,7 +197,8 @@ def image_demo(args):
         # draw on uint8: OpenCV >= 5 asserts CV_8U in putText (the
         # reference drew on the float image, cv2 v3 tolerated it)
         im_draw = np.clip(im, 0, 255).astype(np.uint8)
-        _detect_and_draw(det, predict, params, im_draw, input_image, cfg)
+        _detect_and_draw(det, predict, params, im_draw, input_image, cfg,
+                         device_pp=args.device_postprocess)
         file_name = os.path.split(f)[1]
         out_file_name = os.path.join(args.out_dir, 'out_' + file_name)
         cv2.imwrite(out_file_name, im_draw)
@@ -200,18 +238,18 @@ def video_demo(args):
         frame = frame[500:-205, 239:-439, :]  # demo.py:91 crop
         im_input = frame.astype(np.float32) - cfg.bgr_means_array()
         t_reshape = time.time()
-        interp = predict(params, jnp.asarray(im_input[None]))
-        interp = jax.tree.map(np.asarray, interp)
+        out = predict(params, jnp.asarray(im_input[None]))
+        out = jax.tree.map(np.asarray, out)
         t_detect = time.time()
-        boxes, probs, classes = det.filter_prediction(
-            interp.det_boxes[0], interp.det_probs[0], interp.det_class[0])
-        keep = [i for i in range(len(probs))
-                if probs[i] > cfg.plot_prob_thresh]
+        # with --device_postprocess the filter already ran inside the
+        # program above — this phase collapses to list bookkeeping
+        boxes, probs, classes = _filter_outputs(
+            det, out, cfg, args.device_postprocess)
         t_filter = time.time()
         from squeezedet_tpu.utils.util import draw_box
-        draw_box(frame, [boxes[i] for i in keep],
-                 ['%s: (%.2f)' % (cfg.class_names[classes[i]], probs[i])
-                  for i in keep], cdict=CLS2CLR)
+        draw_box(frame, boxes,
+                 ['%s: (%.2f)' % (cfg.class_names[c], p)
+                  for c, p in zip(classes, probs)], cdict=CLS2CLR)
         cv2.imwrite(out_im_name, frame)
         print('Total time: {:.4f}, detection time: {:.4f}, filter time: '
               '{:.4f}'.format(time.time() - t_start, t_detect - t_reshape,

@@ -333,6 +333,21 @@ def detect_all(det, imdb, params, batch_size: int, quant: bool = False,
         # detect_all per poll; the canvases never change)
         dataset_dev = getattr(imdb, '_eval_stack_dev', None)
         if dataset_dev is None:
+            # HBM guard (train's twin, trainer.py): the eval stack is
+            # REPLICATED to every participating device — the gather
+            # indexes the full split per batch, so it cannot shard over
+            # the data axis like training's — and it stays resident for
+            # the daemon's lifetime via the imdb cache below
+            h0, w0 = imdb.canvas_size()
+            gib = len(imdb.image_idx) * h0 * w0 * 3 / 2**30
+            if gib > 12.0:
+                raise ValueError(
+                    '--device_dataset eval: the {}-image split is '
+                    '{:.1f} GiB per device as a uint8 canvas stack '
+                    '(replicated; too large next to params in one '
+                    "chip's HBM) — evaluate without --device_dataset "
+                    'or split the image set'.format(
+                        len(imdb.image_idx), gib))
             stack = imdb.load_canvas_dataset()
             print('Device-resident eval split: {} images, {:.2f} GiB, '
                   'uploaded once'.format(len(stack),

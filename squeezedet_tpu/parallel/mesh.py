@@ -159,9 +159,17 @@ def local_data_coords(mesh: Mesh):
                 "process-major axis)".format(i, sorted(procs)))
         if procs.pop() == pid:
             coords.append(i)
-    assert coords == list(range(coords[0], coords[0] + len(coords))), (
-        "process-local data coordinates {} are not contiguous".format(
-            coords))
+    if not coords:
+        raise ValueError(
+            "process {} owns no devices on the mesh's data axis — "
+            "--device_dataset requires every participating controller "
+            "to hold at least one data shard (is the mesh built over a "
+            "device subset that excludes this host?)".format(pid))
+    if coords != list(range(coords[0], coords[0] + len(coords))):
+        raise ValueError(
+            "process-local data coordinates {} are not contiguous "
+            "(make_array_from_process_local_data needs per-process "
+            "blocks that concatenate in process order)".format(coords))
     return coords
 
 

@@ -63,16 +63,19 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help='Override batch size (0 = model default).')
     p.add_argument('--learning_rate', type=float, default=0.0,
                    help='Override initial learning rate (0 = config).')
-    p.add_argument('--lr_warmup_steps', type=int, default=0,
+    p.add_argument('--lr_warmup_steps', type=int, default=None,
                    help='Linear LR warmup over the first N steps '
-                        '(0 = off). Use with a linearly-scaled '
+                        '(0 = off; unset = config default, or the '
+                        'derived value under --recipe_batch). Use with '
+                        'a linearly-scaled '
                         'learning rate when raising the batch size '
                         'beyond the reference recipe (e.g. batch 128 '
                         '= 8x batch 16 -> 8x the batch-16 LR with '
                         '~10%% of the run warmed up).')
-    p.add_argument('--decay_steps', type=int, default=0,
+    p.add_argument('--decay_steps', type=int, default=None,
                    help='Override LR staircase decay interval in steps '
-                        '(0 = config default 10000). Scale by '
+                        '(unset = config default 10000, or the derived '
+                        'value under --recipe_batch). Scale by '
                         'batch_ref/batch when raising the batch size '
                         'so decay happens at the same epoch.')
     p.add_argument('--recipe_batch', type=int, default=0,
@@ -225,9 +228,17 @@ def config_from_args(args):
         from squeezedet_tpu.config.kitti import scale_recipe_to_batch
         cfg = scale_recipe_to_batch(cfg, args.recipe_batch,
                                     total_steps=args.max_steps)
-    if args.lr_warmup_steps:
+    # None-default so an explicit 0 (warmup off / keep config decay)
+    # still overrides --recipe_batch-derived values, matching the
+    # loss_coef_* flags' semantics
+    if args.lr_warmup_steps is not None:
         cfg = cfg.replace(lr_warmup_steps=args.lr_warmup_steps)
-    if args.decay_steps:
+    if args.decay_steps is not None:
+        if args.decay_steps <= 0:
+            raise SystemExit('--decay_steps must be a positive step '
+                             'interval (omit the flag for the config '
+                             'default or the --recipe_batch-derived '
+                             'value)')
         cfg = cfg.replace(decay_steps=args.decay_steps)
     for coef in ('loss_coef_conf_pos', 'loss_coef_conf_neg',
                  'loss_coef_class', 'loss_coef_bbox'):

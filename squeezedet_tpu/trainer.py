@@ -799,7 +799,19 @@ def train(det: Detector, imdb, *, train_dir: str, max_steps: int,
         identical GLOBAL batch (same seed, same shard_data partition);
         each host feeds only the slots of its own data coordinates —
         the contiguous [coord*per, ...) block of the shard-major batch
-        layout."""
+        layout.
+
+        Each host deliberately MATERIALIZES all B slots' plan rows and
+        discards the non-local ones here: the RNG draws must be global
+        (the shared stream is the draw sequence), and the per-slot work
+        past the draw is metadata-only numpy box math — no pixel decode
+        (read_batch_plan_rows) — so restricting it to the local [lo:hi)
+        range would save O(B·max_gt) float ops per step at the cost of
+        threading a slot range through the pinned stream contract.
+        Also load-bearing for correctness: the decoded-extent size
+        cache (load_canvas_shards) only covers the host's OWN shards,
+        so only locally-fed slots are guaranteed decoded-size-accurate
+        — exactly the slots this function keeps."""
         if local_coords is None or jax.process_count() == 1:
             return item
         per = cfg.batch_size // ds_shards

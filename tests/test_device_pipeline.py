@@ -265,8 +265,15 @@ def test_shard_data_sampler_and_stack_layout(tmp_path_factory):
         for x, y in zip(a, b):
             np.testing.assert_array_equal(y, x)
 
-    # misuse guards: double-shard, non-dividing batch
-    with pytest.raises(AssertionError):
+    # re-shard guards: same count is an idempotent no-op (train() may
+    # be re-entered on one imdb — resume flows) and must NOT reset the
+    # live stream position; a different count raises
+    before = db.sampler_state()
+    db.shard_data(4)
+    after = db.sampler_state()
+    for k in before:
+        np.testing.assert_array_equal(after[k], before[k])
+    with pytest.raises(ValueError, match="already sharded"):
         db.shard_data(2)
     db3 = Kitti("train", root, mcfg.replace(batch_size=3),
                 rng=np.random.RandomState(0))

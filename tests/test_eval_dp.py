@@ -277,6 +277,22 @@ def test_detect_all_device_dataset_matches_host(kitti_root):
                                                atol=1e-3)
 
 
+def test_detect_all_device_dataset_hbm_guard(kitti_root, monkeypatch):
+    """The eval stack is REPLICATED per device and daemon-lifetime
+    resident; an oversized split must fail with an actionable error
+    before any decode/upload (train's guard twin, trainer.py)."""
+    import pytest
+
+    cfg = tiny_test_config(image_width=320, image_height=96, batch_size=1)
+    det = get_model("squeezeDet", cfg)
+    params, _, _ = det.init(jax.random.key(0))
+    db = Kitti("val", kitti_root, cfg)
+    monkeypatch.setattr(type(db), "canvas_size",
+                        lambda self: (40000, 40000))
+    with pytest.raises(ValueError, match="GiB per device"):
+        detect_all(det, db, params, batch_size=1, device_dataset=True)
+
+
 def test_eval_cli_device_postprocess_default():
     """Batched eval defaults to the fused device postprocess; batch-1
     keeps the reference host path; --host_postprocess forces host even

@@ -1045,6 +1045,17 @@ def test_loss_coef_zero_override_respected():
     # and leaving it unset keeps the config default
     cfg = config_from_args(p.parse_args([]))
     assert cfg.loss_coef_conf_neg == 100.0
+    # --lr_warmup_steps 0 must likewise override a --recipe_batch-derived
+    # warmup (ablation arm), not be swallowed by truthiness
+    cfg = config_from_args(p.parse_args(
+        ['--recipe_batch', '128', '--max_steps', '375',
+         '--lr_warmup_steps', '0']))
+    assert cfg.lr_warmup_steps == 0
+    # a zero/negative decay interval is invalid, not 'config default'
+    with pytest.raises(SystemExit):
+        config_from_args(p.parse_args(['--decay_steps', '0']))
+    cfg = config_from_args(p.parse_args([]))
+    assert cfg.decay_steps == 10000
 
 
 def test_observability_under_device_augment_and_dataset(kitti_root,

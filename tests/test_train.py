@@ -523,6 +523,24 @@ def test_device_dataset_step_on_8_device_mesh(rng):
     np.testing.assert_allclose(total, float(lb_cv.total), rtol=1e-5)
 
 
+def test_local_data_coords_diagnostics(monkeypatch):
+    """local_data_coords must fail with actionable ValueErrors, not an
+    IndexError, when a controller owns no devices on the mesh's data
+    axis (e.g. the mesh was built over a device subset excluding this
+    host) — the error is what a misconfigured multihost
+    --device_dataset run sees."""
+    import pytest
+
+    from squeezedet_tpu.parallel import mesh as pm
+
+    m = pm.make_mesh(2)
+    assert pm.local_data_coords(m) == [0, 1]
+    # pretend to be a process that owns none of the mesh's devices
+    monkeypatch.setattr(pm.jax, "process_index", lambda: 7)
+    with pytest.raises(ValueError, match="owns no devices"):
+        pm.local_data_coords(m)
+
+
 def test_mesh_train_matches_single_device(rng):
     """K data-parallel steps on the 8-CPU mesh must match single-device
     training numerically (same params, same loss trajectory) — XLA's

@@ -330,8 +330,14 @@ def detect_all(det, imdb, params, batch_size: int, quant: bool = False,
     dataset_dev = None
     if device_dataset:
         # upload once, reuse across checkpoint polls (the daemon calls
-        # detect_all per poll; the canvases never change)
-        dataset_dev = getattr(imdb, '_eval_stack_dev', None)
+        # detect_all per poll; the canvases never change).  The cache
+        # is keyed by the target sharding: a library caller reusing
+        # one imdb across different batch sizes / meshes must not get
+        # a stack committed to a stale device placement.
+        ds_key = repr(rep_for_ds)
+        cached = getattr(imdb, '_eval_stack_dev', None)
+        if cached is not None and cached[0] == ds_key:
+            dataset_dev = cached[1]
         if dataset_dev is None:
             # HBM guard (train's twin, trainer.py): the eval stack is
             # REPLICATED to every participating device — the gather
@@ -355,7 +361,7 @@ def detect_all(det, imdb, params, batch_size: int, quant: bool = False,
             dataset_dev = (jax.device_put(stack, rep_for_ds)
                            if rep_for_ds is not None
                            else jax.device_put(stack))
-            imdb._eval_stack_dev = dataset_dev
+            imdb._eval_stack_dev = (ds_key, dataset_dev)
             del stack
 
     num_detection = 0.0

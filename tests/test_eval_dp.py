@@ -257,6 +257,15 @@ def test_detect_all_device_dataset_matches_host(kitti_root):
                                           batch_size=1,
                                           device_dataset=True)
     assert id(db1._eval_stack_dev) == stack_id
+    # the cache is keyed by the target sharding: a stale key must NOT
+    # be reused (library callers re-running one imdb under a different
+    # mesh/batch get a fresh correctly-placed upload)
+    stale = ("stale-sharding-key", object())
+    db1._eval_stack_dev = stale
+    ds3_boxes, ds3_n, _ = detect_all(det1, db1, params, batch_size=1,
+                                     device_dataset=True)
+    assert db1._eval_stack_dev is not stale
+    assert ds3_n == host_n
 
     cfg8 = cfg1.replace(batch_size=8)
     det8 = get_model("squeezeDet", cfg8)

@@ -24,6 +24,7 @@
 #   ARM=large    -> batch 128 via --recipe_batch 128 on the batch-16
 #                   base recipe (lr 0.008, decay 1250, conf_pos 600,
 #                   ~10% warmup = 38 steps), 375 steps
+#   ARM=large64  -> batch 64 via --recipe_batch 64, 750 steps
 #
 # SEED=n selects the arm's seed (default 0); train dirs are suffixed
 # _s<n> for n > 0 so multi-seed validation runs coexist.
@@ -93,5 +94,5 @@ eval)
     --run_once --eval_batch_size 25 --image_width $W --image_height $H \
     --compute_dtype bfloat16
   ;;
-*) echo "usage: $0 {gen|train|eval}  [ARM=control|large] [SEED=n] [DS=1]"; exit 1 ;;
+*) echo "usage: $0 {gen|train|eval}  [ARM=control|large|large64] [SEED=n] [DS=1]"; exit 1 ;;
 esac

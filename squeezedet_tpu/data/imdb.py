@@ -310,8 +310,22 @@ class Imdb:
             # ValueError (not assert): a mismatched restore silently
             # corrupts the resumed stream, so the guards must survive
             # python -O like _next_batch_idx_locked's
-            if "shard_perm_order" in state and \
-                    np.asarray(state["shard_perm_order"]).size:
+            has_shard_state = ("shard_perm_order" in state
+                               and np.asarray(
+                                   state["shard_perm_order"]).size)
+            if getattr(self, "_data_shards", None) and not has_shard_state:
+                # the symmetric direction: an UNSHARDED snapshot (from a
+                # single-data-shard run or a pre-shard_data checkpoint)
+                # restored into a sharded imdb would keep the fresh-seed
+                # shard permutations but jump the RNG to the checkpoint —
+                # a hybrid stream that is neither a fresh start nor a
+                # continuation
+                raise ValueError(
+                    "this imdb is data-sharded {} ways but the sampler "
+                    "state is unsharded — resume the run on a mesh with "
+                    "the same data-axis size it was checkpointed "
+                    "with".format(len(self._data_shards)))
+            if has_shard_state:
                 if not getattr(self, "_data_shards", None):
                     raise ValueError(
                         "sampler state is data-sharded; call "
@@ -334,8 +348,14 @@ class Imdb:
                     self._shard_perm_order[s] = p
                     self._shard_perm_idx[s] = [
                         self._data_shards[s][i] for i in p]
-                self._shard_cur = [
-                    int(c) for c in np.asarray(state["shard_cur"])]
+                cur = [int(c) for c in np.asarray(state["shard_cur"])]
+                for s, c in enumerate(cur):
+                    if not 0 <= c <= len(self._data_shards[s]):
+                        raise ValueError(
+                            "sampler-state shard {} cursor {} is out of "
+                            "range for its {}-image shard".format(
+                                s, c, len(self._data_shards[s])))
+                self._shard_cur = cur
             self._rng.set_state(
                 ("MT19937", np.asarray(state["rng_key"], np.uint32),
                  int(state["rng_pos"]), int(state["rng_has_gauss"]),

@@ -992,9 +992,11 @@ def train(det: Detector, imdb, *, train_dir: str, max_steps: int,
             hist_due = summary_writer is not None and histogram_step \
                 and step % histogram_step == 0
             pixels = None
-            if viz_due or hist_due:
-                # one replay/fetch serves viz, histograms and
-                # activation summaries alike
+            if viz_due or (hist_due and (device_augment
+                                         or activation_summary)):
+                # one replay/fetch serves viz, histograms and activation
+                # summaries alike; skipped when no consumer needs pixels
+                # (host-ingest histogram steps read host_batch directly)
                 pixels = _summary_pixels(host_batch)
             if viz_due:
                 off = 2 if device_augment else 1

@@ -279,3 +279,18 @@ def test_shard_data_sampler_and_stack_layout(tmp_path_factory):
                 rng=np.random.RandomState(0))
     with pytest.raises(ValueError, match="divisible"):
         db3.shard_data(2)
+
+    # restore guards, both directions: an UNSHARDED snapshot into a
+    # sharded imdb (e.g. resuming a single-data-shard checkpoint on a
+    # D>1 mesh) must raise, not silently mix fresh shard perms with the
+    # checkpointed RNG; and a corrupted shard cursor must be rejected
+    db4 = Kitti("train", root, mcfg, rng=np.random.RandomState(1))
+    unsharded = db4.sampler_state()
+    db5 = Kitti("train", root, mcfg, rng=np.random.RandomState(2))
+    db5.shard_data(4)
+    with pytest.raises(ValueError, match="state is unsharded"):
+        db5.set_sampler_state(unsharded)
+    bad = {k: np.array(v) for k, v in state.items()}
+    bad["shard_cur"] = np.array([0, 0, 0, 99])
+    with pytest.raises(ValueError, match="out of range"):
+        db5.set_sampler_state(bad)

@@ -64,6 +64,14 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument('--batch_window_ms', type=float, default=2.0,
                    help='How long the micro-batcher waits for more '
                         'requests after the first of a batch arrives.')
+    p.add_argument('--num_devices', type=int, default=1,
+                   help='Data-parallel serving mesh: 1 (default) serves '
+                        'on a single device with the layout-negotiated '
+                        'entry; N>1 shards each micro-batch over the '
+                        'first N devices (requires --max_batch divisible '
+                        'by N); 0 uses every visible device. '
+                        'Checkpoint-backed only — a StableHLO artifact '
+                        'is a single-device program.')
     p.add_argument('--max_queue', type=int, default=None,
                    help='Reject /detect with 503 when this many '
                         'requests are already queued for the '
@@ -161,6 +169,20 @@ class MicroBatcher:
             self.batches_run += 1
 
 
+def _resolve_num_devices(args):
+    """0 -> every visible device; validates batch divisibility."""
+    import jax
+    n = getattr(args, 'num_devices', 1)
+    if n == 0:
+        n = len(jax.devices())
+    if n > 1 and args.max_batch % n:
+        raise SystemExit(
+            "--max_batch {} is not divisible by --num_devices {} — the "
+            "micro-batch shards evenly over the mesh".format(
+                args.max_batch, n))
+    return n
+
+
 def _build_from_checkpoint(args):
     import jax
 
@@ -189,6 +211,28 @@ def _build_from_checkpoint(args):
         params = det.quantize(params, [calib],
                               percentile=args.calib_percentile)
         quant_fn = det.predict_quant_postprocessed
+    meta = {"class_names": list(cfg.class_names),
+            "image_height": cfg.image_height,
+            "image_width": cfg.image_width,
+            "plot_prob_thresh": cfg.plot_prob_thresh}
+
+    n_dev = _resolve_num_devices(args)
+    if n_dev > 1:
+        # data-parallel serving: micro-batch sharded over a 1-D mesh,
+        # params replicated, no collectives in the program (see
+        # serving.mesh_inference_fn)
+        from squeezedet_tpu.parallel.mesh import make_mesh
+        from squeezedet_tpu.serving import mesh_inference_fn
+        mesh = make_mesh(n_dev)
+        fn, params_sh, input_sh = mesh_inference_fn(
+            det, args.max_batch, mesh, fn=quant_fn)
+        params = jax.device_put(params, params_sh)
+        print("serving mesh: {} devices x batch {} "
+              "({} rows/device)".format(n_dev, args.max_batch,
+                                        args.max_batch // n_dev))
+        return (lambda im: fn(params, jax.device_put(im, input_sh))), \
+            meta
+
     # XLA-negotiated entry layout: same program jax.jit would build,
     # minus the in-program relayout copy of the uint8 frame
     from squeezedet_tpu.serving import negotiated_inference_fn
@@ -198,11 +242,6 @@ def _build_from_checkpoint(args):
     # arrays, and handing those to the compiled fn would re-transfer the
     # full weight set on every request
     params = jax.device_put(params)
-
-    meta = {"class_names": list(cfg.class_names),
-            "image_height": cfg.image_height,
-            "image_width": cfg.image_width,
-            "plot_prob_thresh": cfg.plot_prob_thresh}
     return (lambda im: fn(params, jax.device_put(im, input_format))), \
         meta
 
@@ -321,6 +360,13 @@ def main(argv=None):
                 "bakes its program in at export time — use "
                 "squeezedet-export --quantize int8 to build an int8 "
                 "artifact)")
+        if _resolve_num_devices(args) > 1:
+            raise SystemExit(
+                "--num_devices > 1 needs --checkpoint: a StableHLO "
+                "artifact is a single-device program (shardings are a "
+                "property of the jitted program, not the serialized "
+                "HLO) — serve the checkpoint directly for data-parallel "
+                "serving")
         run, meta = _build_from_artifact(args.artifact, args.max_batch)
     else:
         run, meta = _build_from_checkpoint(args)

@@ -53,6 +53,52 @@ def negotiated_inference_fn(det, batch_size: int, params: Any,
         return jax.jit(fn), jax.devices()[0]
 
 
+def mesh_inference_fn(det, batch_size: int, mesh,
+                      fn: Callable = None) -> Tuple[Callable, Any, Any]:
+    """Data-parallel serving program over a 1-D device mesh.
+
+    The layout-negotiated entry above is a single-device optimization
+    (a negotiated ``Format`` carries no mesh placement), so the
+    multi-chip server uses the standard sharded entry instead: params
+    replicated, the uint8 ``[B, H, W, 3]`` micro-batch sharded over the
+    mesh's ``data`` axis.  Each chip runs the identical fused
+    uint8 -> top-K program on its ``B/D`` rows; inference has no
+    cross-image term, so the program contains NO collectives —
+    D chips serve D× the micro-batch at one chip's latency.  The
+    ``[B, K, ·]`` outputs come back batch-sharded and gather to host
+    only when the handler reads its row.
+
+    The body is wrapped in ``shard_map`` rather than left to the SPMD
+    partitioner: XLA's TopK lowers to a custom-call the partitioner
+    cannot split, so under plain ``jit`` + shardings it all-gathers
+    the [B, anchors] score tensor to every device before selecting.
+    shard_map makes every op device-local by construction — the
+    zero-collective property is asserted on the compiled HLO in
+    test_serve.
+
+    Returns ``(fn, params_sharding, input_sharding)``: place the params
+    once with ``jax.device_put(params, params_sharding)`` and each
+    micro-batch with ``jax.device_put(np_u8, input_sharding)``.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from squeezedet_tpu.parallel.mesh import (batch_sharding,
+                                              replicated_sharding)
+
+    if fn is None:
+        fn = det.predict_raw_postprocessed
+    d = mesh.devices.size
+    if batch_size % d:
+        raise ValueError(
+            "serving batch {} not divisible by the {}-device mesh — "
+            "pick --max_batch as a multiple of --num_devices".format(
+                batch_size, d))
+    jfn = jax.jit(jax.shard_map(fn, mesh=mesh,
+                                in_specs=(P(), P("data")),
+                                out_specs=P("data")))
+    return jfn, replicated_sharding(mesh), batch_sharding(mesh)
+
+
 def export_model(det, params, path: str, *, batch_size: int = 1,
                  uint8_input: bool = True, postprocess: bool = True,
                  platforms=("tpu", "cpu"), quantized: bool = False) -> None:

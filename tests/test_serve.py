@@ -372,3 +372,142 @@ def test_micro_batcher_p99_bound_at_realistic_service_time():
     assert p99 <= 2.0 * bound, (
         "accepted p99 {:.3f}s exceeds 2x the queue-geometry bound "
         "{:.3f}s".format(p99, bound))
+
+
+def test_mesh_serving_matches_single_device():
+    """--num_devices N serving: the mesh-sharded program (params
+    replicated, micro-batch over the data axis) returns the
+    single-device program's detections, its compiled HLO contains no
+    collectives (inference has no cross-image term), and the batch
+    divisibility guard fires."""
+    import pytest
+
+    from squeezedet_tpu.parallel.mesh import make_mesh
+    from squeezedet_tpu.serving import mesh_inference_fn
+
+    cfg = tiny_test_config(image_width=96, image_height=96, batch_size=8)
+    det = get_model("squeezeDet", cfg)
+    params, _, _ = det.init(jax.random.key(0))
+    rng = np.random.RandomState(1)
+    imgs = rng.randint(0, 255, (8, 96, 96, 3), np.uint8)
+
+    want = [np.asarray(o)
+            for o in jax.jit(det.predict_raw_postprocessed)(params, imgs)]
+
+    mesh = make_mesh(4)
+    fn, params_sh, input_sh = mesh_inference_fn(det, 8, mesh)
+    pdev = jax.device_put(params, params_sh)
+    idev = jax.device_put(imgs, input_sh)
+    got = fn(pdev, idev)
+    for w, g in zip(want, got):
+        np.testing.assert_allclose(np.asarray(g), w, rtol=1e-5, atol=1e-5)
+    # outputs really live batch-sharded on the 4-device mesh
+    assert got[0].sharding.mesh.devices.size == 4
+    # no collectives in the optimized HLO: batch-parallel inference is
+    # communication-free (contrast tools/collective_audit.py's train
+    # step, whose gradient all-reduce is the one expected collective)
+    txt = fn.lower(pdev, idev).compile().as_text()
+    for coll in ("all-reduce", "all-gather", "collective-permute",
+                 "reduce-scatter"):
+        assert coll not in txt, coll
+
+    with pytest.raises(ValueError, match="divisible"):
+        mesh_inference_fn(det, 6, mesh)
+
+
+def test_http_detect_mesh_data_parallel():
+    """End-to-end data-parallel serving: concurrent HTTP requests fold
+    into micro-batches that execute sharded over a 4-device mesh."""
+    from squeezedet_tpu.parallel.mesh import make_mesh
+    from squeezedet_tpu.serve import MicroBatcher
+    from squeezedet_tpu.serving import mesh_inference_fn
+
+    cfg = tiny_test_config(image_width=96, image_height=96, batch_size=4)
+    det = get_model("squeezeDet", cfg)
+    params, _, _ = det.init(jax.random.key(0))
+    mesh = make_mesh(4)
+    fn, params_sh, input_sh = mesh_inference_fn(det, 4, mesh)
+    pdev = jax.device_put(params, params_sh)
+    run = lambda im: fn(pdev, jax.device_put(im, input_sh))
+    meta = {"class_names": list(cfg.class_names), "image_height": 96,
+            "image_width": 96, "plot_prob_thresh": 0.0}
+
+    batcher = MicroBatcher(run, batch=4, window_ms=100.0)
+    server = http.server.ThreadingHTTPServer(
+        ("127.0.0.1", 0),
+        make_handler(lambda im1: batcher.submit(im1[0]), meta,
+                     prob_thresh=0.0))
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    base = "http://127.0.0.1:{}".format(server.server_address[1])
+    rng = np.random.RandomState(0)
+    payloads = [None] * 6
+    try:
+        def post(i):
+            im = rng.randint(0, 255, (96, 96, 3), np.uint8)
+            png = cv2.imencode(".png", im)[1].tobytes()
+            req = urllib.request.Request(base + "/detect", data=png,
+                                         method="POST")
+            with urllib.request.urlopen(req, timeout=300) as r:
+                payloads[i] = json.loads(r.read())
+
+        ts = [threading.Thread(target=post, args=(i,)) for i in range(6)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(timeout=300)
+        assert all(p is not None and isinstance(p["detections"], list)
+                   for p in payloads)
+        assert batcher.batches_run < 6 and batcher.requests == 6
+    finally:
+        server.shutdown()
+        thread.join(timeout=10)
+
+
+def test_serve_num_devices_cli_guards(tmp_path):
+    """--num_devices CLI semantics: 0 = all visible devices; a
+    non-divisible --max_batch exits with the divisibility message; an
+    artifact cannot serve data-parallel (single-device program)."""
+    import pytest
+
+    from squeezedet_tpu.serve import (_resolve_num_devices,
+                                      build_arg_parser, main)
+
+    parser = build_arg_parser()
+    assert _resolve_num_devices(
+        parser.parse_args(['--max_batch', '8', '--num_devices', '4'])) == 4
+    assert _resolve_num_devices(
+        parser.parse_args(['--max_batch', '8', '--num_devices', '0'])) \
+        == len(jax.devices())
+    with pytest.raises(SystemExit, match="not divisible"):
+        _resolve_num_devices(
+            parser.parse_args(['--max_batch', '6', '--num_devices', '4']))
+
+    cfg = tiny_test_config(image_width=96, image_height=96, batch_size=1)
+    det = get_model("squeezeDet", cfg)
+    params, _, _ = det.init(jax.random.key(0))
+    art = str(tmp_path / "artifact_mesh_guard")
+    export_model(det, params, art, platforms=("cpu",))
+    with pytest.raises(SystemExit, match="single-device program"):
+        main(['--artifact', art, '--num_devices', '2', '--max_batch', '2'])
+
+
+def test_build_from_checkpoint_mesh_branch(monkeypatch):
+    """serve's checkpoint builder wires the mesh path end to end:
+    random-init params land replicated, the returned run callable
+    executes the shard_map program on a zeros micro-batch."""
+    import squeezedet_tpu.config as config_mod
+    from squeezedet_tpu.serve import _build_from_checkpoint, \
+        build_arg_parser
+
+    cfg = tiny_test_config(image_width=96, image_height=96, batch_size=4)
+    monkeypatch.setattr(config_mod, "config_for_net",
+                        lambda net: cfg.replace(class_names=cfg.class_names))
+    args = build_arg_parser().parse_args(
+        ['--max_batch', '4', '--num_devices', '4'])
+    run, meta = _build_from_checkpoint(args)
+    assert meta["image_height"] == 96 and meta["image_width"] == 96
+    boxes, probs, classes, keep = [
+        np.asarray(o) for o in run(np.zeros((4, 96, 96, 3), np.uint8))]
+    assert boxes.shape[0] == 4 and boxes.shape[-1] == 4
+    assert probs.shape == keep.shape == classes.shape

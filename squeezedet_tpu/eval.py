@@ -259,17 +259,27 @@ def detect_all(det, imdb, params, batch_size: int, quant: bool = False,
         rep = replicated_sharding(mesh)
         rep_for_ds = rep
         params = jax.device_put(params, rep)
+        # shard_map, not jit+shardings: data-parallel inference has no
+        # cross-image term, but XLA's TopK custom-call (the top-K of
+        # the fused device postprocess) is not SPMD-partitionable, so
+        # the partitioner all-gathers the [B, anchors] score tensor to
+        # every device per batch.  shard_map keeps every op local —
+        # zero collectives (same fix as serving.mesh_inference_fn;
+        # pinned on the HLO in test_eval_dp).
+        from jax.sharding import PartitionSpec as P
         if device_dataset:
-            data = batch_sharding(mesh)
-            predict_jit = jax.jit(make_ds_fn(), in_shardings=(
-                rep, rep, data, data))
+            predict_jit = jax.jit(jax.shard_map(
+                make_ds_fn(), mesh=mesh,
+                in_specs=(P(), P(), P("data"), P("data")),
+                out_specs=P("data")))
 
             def predict(p, dataset, pos, aug):
                 return predict_jit(p, dataset,
                                    *shard_batch(mesh, (pos, aug)))
         else:
-            predict_jit = jax.jit(base_fn, in_shardings=(
-                rep, batch_sharding(mesh)))
+            predict_jit = jax.jit(jax.shard_map(
+                base_fn, mesh=mesh, in_specs=(P(), P("data")),
+                out_specs=P("data")))
 
             def predict(p, images):
                 return predict_jit(p, shard_batch(mesh, images))

@@ -319,3 +319,35 @@ def test_eval_cli_device_postprocess_default():
     assert resolved(['--device_postprocess']) is True
     assert resolved(['--eval_batch_size', '8',
                      '--host_postprocess']) is False
+
+
+def test_dp_eval_program_has_zero_collectives():
+    """The batched-eval DP program (device postprocess default) is
+    communication-free: shard_map keeps the unpartitionable TopK
+    custom-call device-local instead of letting the SPMD partitioner
+    all-gather the [B, anchors] scores to every device (3 all-gathers
+    before the round-5 shard_map switch)."""
+    from jax.sharding import PartitionSpec as P
+
+    from squeezedet_tpu.parallel.mesh import (auto_mesh, batch_sharding,
+                                              replicated_sharding)
+
+    cfg = tiny_test_config(image_width=96, image_height=96, batch_size=8)
+    det = get_model("squeezeDet", cfg)
+    params, _, _ = det.init(jax.random.key(0))
+    mesh = auto_mesh(8)
+    rep = replicated_sharding(mesh)
+
+    def base_fn(p, x):
+        return det.postprocess_device(det.predict(p, x))
+
+    jfn = jax.jit(jax.shard_map(base_fn, mesh=mesh,
+                                in_specs=(P(), P("data")),
+                                out_specs=P("data")))
+    x = np.random.RandomState(0).randn(8, 96, 96, 3).astype(np.float32)
+    txt = jfn.lower(jax.device_put(params, rep),
+                    jax.device_put(x, batch_sharding(mesh))
+                    ).compile().as_text()
+    for coll in ("all-reduce", "all-gather", "collective-permute",
+                 "reduce-scatter"):
+        assert coll not in txt, coll

@@ -594,6 +594,53 @@ class Imdb:
             scales.append((mc.image_width / w, mc.image_height / h))
         return pos, aug, scales
 
+    def eval_shard_batches(self, batch_size: int):
+        """Shard-major sequential batch plan for device-resident eval
+        over a D-device data mesh — the val-split twin of the sharded
+        train gather: with the split partitioned into
+        :meth:`shard_data`'s strided shards, batch t's slot group s
+        covers shard s's rows [t*per, (t+1)*per), so slot group s only
+        ever references shard s's block of the canvas stack and the
+        device gather stays local (no collective; D chips hold D× the
+        split instead of D replicas).
+
+        Yields (pos [B] int32 padded global stack rows, aug [B, 5] f32
+        zero-drift rows for the on-device resize+normalize, scales list
+        of per-slot (x_scale, y_scale), image_indices [B] int64 index
+        into ``image_idx`` with -1 marking PAD slots).  Pad slots (the
+        tail of shards shorter than the padded stride, or the final
+        partial window) re-reference the shard's row 0; callers must
+        drop their results via ``image_indices < 0``.  Every real image
+        appears exactly once across the yielded batches.
+        """
+        assert getattr(self, "_data_shards", None), \
+            "eval_shard_batches requires shard_data()"
+        mc = self.mc
+        d = len(self._data_shards)
+        per = batch_size // d
+        assert per * d == batch_size, (batch_size, d)
+        index_of = {idx: i for i, idx in enumerate(self._image_idx)}
+        rows = self._shard_rows
+        for t in range(-(-rows // per)):
+            pos = np.zeros((batch_size,), np.int32)
+            aug = np.zeros((batch_size, 5), np.float32)
+            img_is = np.full((batch_size,), -1, np.int64)
+            scales = []
+            for s, shard in enumerate(self._data_shards):
+                for k in range(per):
+                    b = s * per + k
+                    r = t * per + k
+                    valid = r < len(shard)
+                    idx = shard[r if valid else 0]
+                    pos[b] = s * rows + (r if valid else 0)
+                    w, h = self._image_size(idx)
+                    aug[b] = (0.0, 0.0, 0.0, float(w), float(h))
+                    scales.append((mc.image_width / w,
+                                   mc.image_height / h))
+                    if valid:
+                        img_is[b] = index_of[idx]
+            yield pos, aug, scales, img_is
+
     def read_batch(self, shuffle: bool = True,
                    plan: Optional[BatchPlan] = None):
         """Images + training annotations (imdb.py:99-249).

@@ -250,6 +250,7 @@ def detect_all(det, imdb, params, batch_size: int, quant: bool = False,
         from squeezedet_tpu.parallel.mesh import auto_mesh
         mesh = auto_mesh(batch_size)
     rep_for_ds = None
+    ds_sharded = 0
     if mesh is not None:
         from squeezedet_tpu.parallel.mesh import (batch_sharding,
                                                   replicated_sharding,
@@ -268,9 +269,30 @@ def detect_all(det, imdb, params, batch_size: int, quant: bool = False,
         # pinned on the HLO in test_eval_dp).
         from jax.sharding import PartitionSpec as P
         if device_dataset:
+            # the val-split canvases SHARD over the data axis (D chips
+            # hold D× the split, not D replicas — training's twin):
+            # shard_data partitions the split into D strided shards,
+            # eval_shard_batches composes every batch shard-major so
+            # slot group s only references shard s's block, and the
+            # body rebases the padded global rows to the local block —
+            # the gather never leaves the chip.
+            ds_sharded = mesh.devices.size
+            imdb.shard_data(ds_sharded)
+            shard_rows = imdb._shard_rows
+
+            def ds_fn_local(p, dataset, pos, aug):
+                first = jax.lax.axis_index("data") * shard_rows
+                canvas = jnp.take(dataset, pos - first, axis=0)
+                images = augment_resize_normalize(
+                    canvas, aug, det.cfg.image_height,
+                    det.cfg.image_width, det.cfg.bgr_means)
+                return base_fn(p, images)
+
+            from squeezedet_tpu.parallel.mesh import dataset_sharding
+            rep_for_ds = dataset_sharding(mesh)
             predict_jit = jax.jit(jax.shard_map(
-                make_ds_fn(), mesh=mesh,
-                in_specs=(P(), P(), P("data"), P("data")),
+                ds_fn_local, mesh=mesh,
+                in_specs=(P(), P("data"), P("data"), P("data")),
                 out_specs=P("data")))
 
             def predict(p, dataset, pos, aug):
@@ -349,25 +371,28 @@ def detect_all(det, imdb, params, batch_size: int, quant: bool = False,
         if cached is not None and cached[0] == ds_key:
             dataset_dev = cached[1]
         if dataset_dev is None:
-            # HBM guard (train's twin, trainer.py): the eval stack is
-            # REPLICATED to every participating device — the gather
-            # indexes the full split per batch, so it cannot shard over
-            # the data axis like training's — and it stays resident for
-            # the daemon's lifetime via the imdb cache below
+            # HBM guard (train's twin, trainer.py).  On a data mesh the
+            # stack is SHARDED (each chip holds its padded shard block);
+            # single-device and spatial meshes hold the full split, so
+            # the guard models the per-device share either way.
             h0, w0 = imdb.canvas_size()
-            gib = len(imdb.image_idx) * h0 * w0 * 3 / 2**30
+            per_device_rows = (imdb._shard_rows if ds_sharded
+                               else len(imdb.image_idx))
+            gib = per_device_rows * h0 * w0 * 3 / 2**30
             if gib > 12.0:
                 raise ValueError(
                     '--device_dataset eval: the {}-image split is '
                     '{:.1f} GiB per device as a uint8 canvas stack '
-                    '(replicated; too large next to params in one '
-                    "chip's HBM) — evaluate without --device_dataset "
-                    'or split the image set'.format(
-                        len(imdb.image_idx), gib))
+                    "(too large next to params in one chip's HBM) — "
+                    'evaluate without --device_dataset, use more '
+                    'data-parallel devices, or split the image '
+                    'set'.format(len(imdb.image_idx), gib))
             stack = imdb.load_canvas_dataset()
-            print('Device-resident eval split: {} images, {:.2f} GiB, '
-                  'uploaded once'.format(len(stack),
-                                         stack.nbytes / 2**30))
+            print('Device-resident eval split: {} images, {:.2f} GiB'
+                  '{}, uploaded once'.format(
+                      len(imdb.image_idx), gib,
+                      ' per device (sharded {} ways)'.format(ds_sharded)
+                      if ds_sharded else ''))
             dataset_dev = (jax.device_put(stack, rep_for_ds)
                            if rep_for_ds is not None
                            else jax.device_put(stack))
@@ -376,14 +401,32 @@ def detect_all(det, imdb, params, batch_size: int, quant: bool = False,
 
     num_detection = 0.0
     imdb.reset_cursor()
-    for start in range(0, num_images, batch_size):
+    if ds_sharded:
+        # shard-major batch plan: every batch's slot group s references
+        # only shard s's rows (slot j's image is plan img_is[j]; -1 =
+        # pad slot, dropped below)
+        plan_batches = list(imdb.eval_shard_batches(batch_size))
+    else:
+        plan_batches = None
+    n_batches = (len(plan_batches) if plan_batches is not None
+                 else -(-num_images // batch_size))
+    done_images = 0
+    for bt in range(n_batches):
+        start = bt * batch_size
         timers['im_read'].tic()
-        if device_dataset:
+        if plan_batches is not None:
+            pos, aug, scales, img_is = plan_batches[bt]
+        elif device_dataset:
             pos, aug, scales = imdb.read_image_rows()
-            n_in_batch = len(pos)
+            img_is = np.arange(start, start + len(pos))
         else:
             images, scales = imdb.read_image_batch(shuffle=False)
-            n_in_batch = len(images)
+            img_is = np.arange(start, start + len(images))
+        # the sequential reader wraps past the end of the split; the
+        # wrapped tail repeats images already scored (reference
+        # eval.py's own tail semantics) and is dropped like pad slots
+        img_is = np.where(img_is < num_images, img_is, -1)
+        n_in_batch = len(img_is)
         timers['im_read'].toc()
 
         timers['im_detect'].tic()
@@ -407,9 +450,9 @@ def detect_all(det, imdb, params, batch_size: int, quant: bool = False,
 
         timers['misc'].tic()
         for j in range(n_in_batch):
-            i = start + j
-            if i >= num_images:
-                break  # wrap-around tail of the last batch
+            i = int(img_is[j])
+            if i < 0:
+                continue  # pad slot / wrap-around tail
             if device_postprocess:
                 k_boxes[j, :, 0::2] /= scales[j][0]
                 k_boxes[j, :, 1::2] /= scales[j][1]
@@ -426,9 +469,10 @@ def detect_all(det, imdb, params, batch_size: int, quant: bool = False,
                 all_boxes[c][i].append(bbox_transform(b) + [s])
         timers['misc'].toc()
 
+        done_images += int((img_is >= 0).sum())
         print('im_detect: {:d}/{:d} im_read: {:.3f}s '
               'detect: {:.3f}s misc: {:.3f}s'.format(
-                  min(start + batch_size, num_images), num_images,
+                  done_images, num_images,
                   timers['im_read'].average_time,
                   timers['im_detect'].average_time,
                   timers['misc'].average_time))

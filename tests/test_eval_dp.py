@@ -351,3 +351,53 @@ def test_dp_eval_program_has_zero_collectives():
     for coll in ("all-reduce", "all-gather", "collective-permute",
                  "reduce-scatter"):
         assert coll not in txt, coll
+
+
+def test_eval_device_dataset_shards_over_mesh(kitti_root):
+    """The eval canvas stack SHARDS over the data mesh (round 5): the
+    detections equal the host path, each device holds only its padded
+    shard block (D chips hold D× the split, not D replicas), and
+    eval_shard_batches visits every image exactly once with shard-local
+    positions.  (Zero collectives in the shard_map program is pinned by
+    test_dp_eval_program_has_zero_collectives.)"""
+    from squeezedet_tpu.eval import detect_all
+
+    cfg = tiny_test_config(image_width=320, image_height=96,
+                           batch_size=8)
+    det = get_model("squeezeDet", cfg)
+    params, _, _ = det.init(jax.random.key(0))
+    db = Kitti("val", kitti_root, cfg)
+    host_boxes, host_n, _ = detect_all(det, db, params, batch_size=8)
+
+    db_ds = Kitti("val", kitti_root, cfg)
+    ds_boxes, ds_n, _ = detect_all(det, db_ds, params, batch_size=8,
+                                   device_dataset=True)
+    assert ds_n == host_n
+    for c in range(db.num_classes):
+        for i in range(len(db.image_idx)):
+            a = np.asarray(sorted(map(tuple, host_boxes[c][i])))
+            b = np.asarray(sorted(map(tuple, ds_boxes[c][i])))
+            assert a.shape == b.shape, (c, i)
+            if a.size:
+                np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-3)
+
+    # the imdb was sharded by detect_all and the cached device stack is
+    # physically distributed: each device's addressable shard is the
+    # per-device block, not the full stack
+    assert db_ds.num_data_shards == 8
+    _, stack = db_ds._eval_stack_dev
+    total_rows = stack.shape[0]
+    assert total_rows == 8 * db_ds._shard_rows
+    for s in stack.addressable_shards:
+        assert s.data.shape[0] == db_ds._shard_rows
+
+    # exact-once coverage with shard-local positions
+    seen = []
+    for pos, aug, scales, img_is in db_ds.eval_shard_batches(8):
+        assert len(pos) == len(img_is) == 8
+        for b in range(8):
+            s = b  # batch 8 over 8 shards: slot group size 1
+            lo, hi = s * db_ds._shard_rows, (s + 1) * db_ds._shard_rows
+            assert lo <= pos[b] < hi
+        seen.extend(int(i) for i in img_is if i >= 0)
+    assert sorted(seen) == list(range(len(db_ds.image_idx)))

@@ -401,3 +401,33 @@ def test_eval_device_dataset_shards_over_mesh(kitti_root):
             assert lo <= pos[b] < hi
         seen.extend(int(i) for i in img_is if i >= 0)
     assert sorted(seen) == list(range(len(db_ds.image_idx)))
+
+
+def test_detect_all_quant_device_dataset_mesh(kitti_root):
+    """The full TPU-first eval stack composed: int8 PTQ forward +
+    sharded HBM canvas stack + shard-major batches + fused device
+    postprocess over the 8-device mesh must reproduce the host-fed
+    data-parallel int8 detections."""
+    from squeezedet_tpu.eval import quantize_on_split
+
+    cfg8 = tiny_test_config(image_width=320, image_height=96,
+                            batch_size=8)
+    det8 = get_model("squeezeDet", cfg8)
+    params, _, _ = det8.init(jax.random.key(0))
+    db8 = Kitti("val", kitti_root, cfg8)
+    qp = quantize_on_split(det8, db8, params, calib_batches=2)
+    ref_boxes, ref_n, _ = detect_all(det8, db8, qp, batch_size=8,
+                                     quant=True)
+
+    db_ds = Kitti("val", kitti_root, cfg8)
+    ds_boxes, ds_n, _ = detect_all(det8, db_ds, qp, batch_size=8,
+                                   quant=True, device_dataset=True)
+    assert ds_n == ref_n
+    assert db_ds.num_data_shards == 8
+    for c in range(db8.num_classes):
+        for i in range(len(db8.image_idx)):
+            a = np.asarray(sorted(map(tuple, ref_boxes[c][i])))
+            b = np.asarray(sorted(map(tuple, ds_boxes[c][i])))
+            assert a.shape == b.shape, (c, i)
+            if a.size:
+                np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-3)
